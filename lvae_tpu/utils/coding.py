@@ -1,0 +1,183 @@
+"""Bitstream container utilities, image padding, and BD-rate computation.
+
+Byte formats are byte-identical to the reference so that tooling that parses
+reference bitstream containers keeps working
+(reference: lvae/utils/coding.py:26-110 for pack/pad, :113-267 for BD-rate).
+
+These are host-side, pure-Python/numpy: they never touch the accelerator.
+"""
+import sys
+import json
+import math
+import pickle
+import struct
+import numpy as np
+from PIL import Image
+
+
+def get_object_size(obj, unit='bits'):
+    """Size of a pickled Python object (reference: lvae/utils/coding.py:10-23)."""
+    num_bytes = sys.getsizeof(pickle.dumps(obj))
+    if unit == 'bits':
+        return num_bytes * 8
+    elif unit == 'bytes':
+        return num_bytes
+    raise ValueError(f'Unknown unit {unit}')
+
+
+def pack_byte_strings(list_of_strings):
+    """Pack a list of byte strings into one byte string.
+
+    Layout: [B num][num * I lengths][concatenated payload]
+    (reference: lvae/utils/coding.py:26-47)
+    """
+    lengths = [len(s) for s in list_of_strings]
+    packed = b''.join(list_of_strings)
+    packed = struct.pack(f'{len(lengths)}I', *lengths) + packed
+    packed = struct.pack('B', len(lengths)) + packed
+    return packed
+
+
+def unpack_byte_string(string):
+    """Inverse of pack_byte_strings (reference: lvae/utils/coding.py:50-70)."""
+    _len = 1
+    num, string = struct.unpack('B', string[:_len])[0], string[_len:]
+    _len = num * 4
+    lengths, string = struct.unpack(f'{num}I', string[:_len]), string[_len:]
+    assert sum(lengths) == len(string), f'{sum(lengths)=} != {len(string)=}'
+    edges = np.cumsum((0,) + lengths, dtype=np.uint32)
+    return [string[edges[i]:edges[i + 1]] for i in range(num)]
+
+
+# ---------------------------------------------------------------------------
+# Image padding / cropping to stride multiples
+# ---------------------------------------------------------------------------
+
+def pad_divisible_by(img: Image.Image, div=64) -> Image.Image:
+    """Edge-pad a PIL image at right/bottom so both sides divide by `div`
+    (reference: lvae/utils/coding.py:73-91)."""
+    h_old, w_old = img.height, img.width
+    if (h_old % div == 0) and (w_old % div == 0):
+        return img
+    h_tgt = div * math.ceil(h_old / div)
+    w_tgt = div * math.ceil(w_old / div)
+    arr = np.asarray(img)
+    pad_h, pad_w = h_tgt - h_old, w_tgt - w_old
+    pad_spec = [(0, pad_h), (0, pad_w)] + [(0, 0)] * (arr.ndim - 2)
+    padded = np.pad(arr, pad_spec, mode='edge')
+    return Image.fromarray(padded)
+
+
+def crop_divisible_by(img: Image.Image, div=64) -> Image.Image:
+    """Center-crop a PIL image so both sides divide by `div`
+    (reference: lvae/utils/coding.py:94-110)."""
+    h_old, w_old = img.height, img.width
+    if (h_old % div == 0) and (w_old % div == 0):
+        return img
+    h_new = div * (h_old // div)
+    w_new = div * (w_old // div)
+    top = (h_old - h_new) // 2
+    left = (w_old - w_new) // 2
+    arr = np.asarray(img)
+    cropped = arr[top:top + h_new, left:left + w_new]
+    return Image.fromarray(cropped)
+
+
+def pad_array_divisible_by(arr: np.ndarray, div=64) -> np.ndarray:
+    """Edge-pad an HWC numpy image so H and W divide by `div`."""
+    h_old, w_old = arr.shape[0], arr.shape[1]
+    if (h_old % div == 0) and (w_old % div == 0):
+        return arr
+    h_tgt = div * math.ceil(h_old / div)
+    w_tgt = div * math.ceil(w_old / div)
+    pad_spec = [(0, h_tgt - h_old), (0, w_tgt - w_old)] + [(0, 0)] * (arr.ndim - 2)
+    return np.pad(arr, pad_spec, mode='edge')
+
+
+# ---------------------------------------------------------------------------
+# BD-rate and RD-curve bookkeeping
+# ---------------------------------------------------------------------------
+
+def bd_rate(r1, psnr1, r2, psnr2):
+    """Bjontegaard delta-rate of curve 2 vs baseline curve 1, in percent.
+
+    Deg-3 polynomial fit of log-rate as a function of PSNR, integrated over
+    the overlapping PSNR interval (reference: lvae/utils/coding.py:113-144).
+    """
+    lr1 = np.log(np.asarray(r1, dtype=np.float64))
+    lr2 = np.log(np.asarray(r2, dtype=np.float64))
+    psnr1 = np.asarray(psnr1, dtype=np.float64)
+    psnr2 = np.asarray(psnr2, dtype=np.float64)
+
+    degree = 3
+    p1 = np.polyfit(psnr1, lr1, deg=degree)
+    p2 = np.polyfit(psnr2, lr2, deg=degree)
+    p_int1 = np.polyint(p1)
+    p_int2 = np.polyint(p2)
+
+    min_psnr = max(psnr1.min(), psnr2.min())
+    max_psnr = min(psnr1.max(), psnr2.max())
+    auc1 = np.polyval(p_int1, max_psnr) - np.polyval(p_int1, min_psnr)
+    auc2 = np.polyval(p_int2, max_psnr) - np.polyval(p_int2, min_psnr)
+
+    avg_exp_diff = (auc2 - auc1) / (max_psnr - min_psnr)
+    return (np.exp(avg_exp_diff) - 1) * 100
+
+
+class RDList:
+    """Store/plot RD curves and compute BD-rates
+    (reference: lvae/utils/coding.py:167-267)."""
+
+    def __init__(self):
+        self.stats_all = []
+        self.bdrate_anchor = None
+
+    def add_json(self, fpath, label='no label', **kwargs):
+        with open(fpath, mode='r') as f:
+            stat = json.load(f)
+        if 'results' in stat:
+            stat = stat['results']
+        stat['label'] = label
+        stat['kwargs'] = kwargs
+        self.stats_all.append(stat)
+
+    def add_data(self, bpp=(), psnr=(), label='no label', **kwargs):
+        stat = {'bpp': list(bpp), 'psnr': list(psnr), 'label': label, 'kwargs': kwargs}
+        self.stats_all.append(stat)
+
+    def set_bdrate_anchor(self, label=None):
+        if label is None:
+            anchor = self.stats_all[-1]
+        else:
+            matches = [st for st in self.stats_all if st['label'] == label]
+            assert len(matches) == 1
+            anchor = matches[0]
+        self.bdrate_anchor = anchor
+
+    def compute_bdrate(self):
+        if self.bdrate_anchor is None:
+            return None
+        bd_anchor = self.bdrate_anchor
+        out = {}
+        print(f'BD-rate anchor = {bd_anchor["label"]}')
+        for method in self.stats_all:
+            if len(method['bpp']) == 0:
+                continue
+            bd = bd_rate(bd_anchor['bpp'], bd_anchor['psnr'],
+                         method['bpp'], method['psnr'])
+            out[method['label']] = bd
+            print(method['label'], f'BD-rate = {bd}')
+        print()
+        return out
+
+    def plot_all_stats(self, ax):
+        for stat in self.stats_all:
+            self._plot_stat(stat, ax=ax, **stat['kwargs'])
+
+    @staticmethod
+    def _plot_stat(stat, ax, ls='-', **kwargs):
+        assert 'bpp' in stat, f'{stat}'
+        kwargs['marker'] = kwargs.get('marker', '.')
+        kwargs['linewidth'] = kwargs.get('linewidth', 1.2)
+        return ax.plot(stat['bpp'], stat['psnr'], label=stat['label'],
+                       markersize=8, linestyle=ls, **kwargs)
