@@ -1,0 +1,298 @@
+"""NN building blocks (L1) — NHWC flax.linen modules.
+
+TPU-native re-design of reference lvae/models/common.py and the block classes
+in lvae/models/qresvae/model.py:120-192. Differences from the reference are
+deliberate TPU choices:
+  * NHWC layout (XLA's preferred conv layout on TPU) instead of NCHW
+  * exact (erf) GELU to match torch.nn.functional.gelu numerics
+  * PixelShuffle implemented as reshape+transpose with torch-compatible
+    channel ordering (for weight porting)
+Parameters are float32; compute dtype is configurable per model.
+"""
+import math
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+def gelu(x):
+    # torch F.gelu default is the exact erf formulation; jax defaults to tanh
+    return jax.nn.gelu(x, approximate=False)
+
+
+# ---------------------------------------------------------------------------
+# Conv factories (reference: common.py:8-45)
+# ---------------------------------------------------------------------------
+
+def get_conv(out_ch, kernel_size, stride, padding, zero_bias=True,
+             zero_weights=False, name=None):
+    """NHWC conv. Bias zero-initialized by default (reference common.py:8-14)."""
+    kinit = nn.initializers.zeros_init() if zero_weights else nn.initializers.lecun_normal()
+    if isinstance(padding, int):
+        padding = [(padding, padding), (padding, padding)]
+    return nn.Conv(out_ch, (kernel_size, kernel_size), strides=(stride, stride),
+                   padding=padding, kernel_init=kinit,
+                   bias_init=nn.initializers.zeros_init(), name=name)
+
+
+def conv_k1s1(out_ch, zero_bias=True, zero_weights=False, name=None):
+    return get_conv(out_ch, 1, 1, 0, zero_bias, zero_weights, name=name)
+
+
+def conv_k3s1(out_ch, zero_bias=True, zero_weights=False, name=None):
+    return get_conv(out_ch, 3, 1, 1, zero_bias, zero_weights, name=name)
+
+
+def conv_k5s1(out_ch, zero_bias=True, zero_weights=False, name=None):
+    return get_conv(out_ch, 5, 1, 2, zero_bias, zero_weights, name=name)
+
+
+def conv_k3s2(out_ch, name=None):
+    return get_conv(out_ch, 3, 2, 1, name=name)
+
+
+def pixel_shuffle(x, rate):
+    """Depth-to-space with torch.nn.PixelShuffle channel ordering.
+
+    NHWC input (B,H,W,C*r*r) -> (B,H*r,W*r,C); channel index c*r*r + i*r + j
+    maps to spatial offset (i, j), matching torch semantics so ported weights
+    reproduce identical outputs.
+    """
+    B, H, W, CRR = x.shape
+    r = rate
+    C = CRR // (r * r)
+    x = x.reshape(B, H, W, C, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # B H i W j C
+    return x.reshape(B, H * r, W * r, C)
+
+
+class patch_downsample(nn.Module):
+    """Strided conv downsample (reference: common.py:29-30)."""
+    out_ch: int
+    rate: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        return get_conv(self.out_ch, self.rate, self.rate, 0, name='conv')(x)
+
+
+class patch_upsample(nn.Module):
+    """1x1 conv + PixelShuffle (reference: common.py:33-38)."""
+    out_ch: int
+    rate: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        x = get_conv(self.out_ch * self.rate ** 2, 1, 1, 0, name='conv')(x)
+        return pixel_shuffle(x, self.rate)
+
+
+class deconv(nn.Module):
+    """Transposed conv upsample (reference: common.py:40-45). Output size is
+    exactly stride * input size, like the reference's output_padding setup."""
+    out_ch: int
+    kernel_size: int = 5
+    stride: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.ConvTranspose(self.out_ch,
+                                (self.kernel_size, self.kernel_size),
+                                strides=(self.stride, self.stride),
+                                padding='SAME', name='conv')(x)
+
+
+class upsample_nearest(nn.Module):
+    """Nearest-neighbor upsample (torch nn.Upsample equivalent; used by
+    qres17m, reference qresvae/zoo.py:139-141)."""
+    rate: int = 2
+
+    def __call__(self, x):
+        x = jnp.repeat(x, self.rate, axis=1)
+        return jnp.repeat(x, self.rate, axis=2)
+
+
+# ---------------------------------------------------------------------------
+# Graph markers (reference: common.py:48-66)
+# ---------------------------------------------------------------------------
+
+class SetKey(nn.Module):
+    """Identity marker tagging a feature-tap position in a block list."""
+    key: str
+
+    def __call__(self, x):
+        return x
+
+
+class CompressionStopFlag(nn.Module):
+    """Identity marker: encode-side early stop (reference: common.py:59-66).
+    During `compress`, blocks after this marker need not execute."""
+
+    def __call__(self, x):
+        return x
+
+
+# ---------------------------------------------------------------------------
+# Lambda embedding (reference: common.py:101-107)
+# ---------------------------------------------------------------------------
+
+def sinusoidal_embedding(values, dim=256, max_period=64):
+    """Sinusoidal embedding of a (B,) vector."""
+    assert values.ndim == 1 and dim % 2 == 0
+    exponents = jnp.linspace(0.0, 1.0, dim // 2)
+    freqs = jnp.power(float(max_period), -1.0 * exponents)
+    args = values[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Residual blocks
+# ---------------------------------------------------------------------------
+
+class Mlp(nn.Module):
+    """2-layer MLP acting on the channel axis (timm.layers.mlp.Mlp analog)."""
+    hidden_features: int
+    out_features: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden_features, name='fc1')(x)
+        x = gelu(x)
+        x = nn.Dense(self.out_features, name='fc2')(x)
+        return x
+
+
+class ConvNeXtBlockAdaLN(nn.Module):
+    """ConvNeXt block with adaptive LayerNorm conditioning
+    (reference: common.py:110-161).
+
+    depthwise conv k -> LN (no affine) -> AdaLN shift/scale from embedding ->
+    MLP -> gamma layer-scale -> residual.
+    """
+    dim: int
+    embed_dim: Optional[int] = None
+    out_dim: Optional[int] = None
+    kernel_size: int = 7
+    mlp_ratio: float = 2
+    residual: bool = True
+    ls_init_value: float = 1e-6
+
+    requires_embedding = True
+    default_embedding_dim = 256
+
+    @nn.compact
+    def __call__(self, x, emb):
+        dim = self.dim
+        out_dim = self.out_dim or dim
+        shortcut = x
+        pad = (self.kernel_size - 1) // 2
+        x = nn.Conv(dim, (self.kernel_size, self.kernel_size),
+                    padding=[(pad, pad), (pad, pad)], feature_group_count=dim,
+                    bias_init=nn.initializers.zeros_init(), name='conv_dw')(x)
+        x = nn.LayerNorm(epsilon=1e-6, use_bias=False, use_scale=False,
+                         name='norm')(x)
+        # AdaLN: per-sample shift/scale from the conditioning embedding
+        e = gelu(emb)
+        e = nn.Dense(2 * dim, name='embedding_layer')(e)
+        shift, scale = jnp.split(e, 2, axis=-1)
+        x = x * (1.0 + scale[:, None, None, :]) + shift[:, None, None, :]
+        hidden = int(self.mlp_ratio * dim)
+        x = Mlp(hidden, out_dim, name='mlp')(x)
+        if self.ls_init_value >= 0:
+            gamma = self.param('gamma',
+                               nn.initializers.constant(self.ls_init_value),
+                               (out_dim,))
+            x = x * gamma
+        if self.residual:
+            x = x + shortcut
+        return x
+
+
+class MyConvNeXtBlock(nn.Module):
+    """Plain ConvNeXt block, mlp_ratio=2 (reference: qresvae/model.py:162-182,
+    wrapping timm's ConvNeXtBlock)."""
+    dim: int
+    kernel_size: int = 7
+    mlp_ratio: float = 2
+    ls_init_value: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        shortcut = x
+        pad = (self.kernel_size - 1) // 2
+        x = nn.Conv(self.dim, (self.kernel_size, self.kernel_size),
+                    padding=[(pad, pad), (pad, pad)],
+                    feature_group_count=self.dim,
+                    bias_init=nn.initializers.zeros_init(), name='conv_dw')(x)
+        x = nn.LayerNorm(epsilon=1e-6, name='norm')(x)
+        x = Mlp(int(self.mlp_ratio * self.dim), self.dim, name='mlp')(x)
+        gamma = self.param('gamma', nn.initializers.constant(self.ls_init_value),
+                           (self.dim,))
+        x = x * gamma
+        return x + shortcut
+
+
+class MyConvNeXtPatchDown(nn.Module):
+    """ConvNeXt block followed by patch downsample
+    (reference: qresvae/model.py:184-192)."""
+    dim: int
+    out_ch: int
+    down_rate: int = 2
+    kernel_size: int = 7
+    mlp_ratio: float = 2
+
+    @nn.compact
+    def __call__(self, x):
+        x = MyConvNeXtBlock(self.dim, kernel_size=self.kernel_size,
+                            mlp_ratio=self.mlp_ratio, name='block')(x)
+        return patch_downsample(self.out_ch, rate=self.down_rate,
+                                name='downsample')(x)
+
+
+class VDBlock(nn.Module):
+    """VDVAE-style 4-conv bottleneck residual block
+    (reference: qresvae/model.py:120-149)."""
+    hidden_ch: int
+    out_ch: int
+    residual: bool = True
+    use_3x3: bool = True
+    zero_last: bool = False
+    # post-init residual scaling factor applied to c4's weights; mirrors
+    # reference residual_scaling() (qresvae/model.py:138-141)
+    rescale_last: float = 1.0
+
+    @nn.compact
+    def __call__(self, x):
+        c = conv_k3s1 if self.use_3x3 else conv_k1s1
+        xhat = conv_k1s1(self.hidden_ch, name='c1')(gelu(x))
+        xhat = c(self.hidden_ch, name='c2')(gelu(xhat))
+        xhat = c(self.hidden_ch, name='c3')(gelu(xhat))
+        if self.zero_last:
+            kinit = nn.initializers.zeros_init()
+        elif self.rescale_last != 1.0:
+            base = nn.initializers.lecun_normal()
+            s = self.rescale_last
+
+            def kinit(key, shape, dtype=jnp.float32):
+                return base(key, shape, dtype) * s
+        else:
+            kinit = nn.initializers.lecun_normal()
+        xhat = nn.Conv(self.out_ch, (1, 1), kernel_init=kinit,
+                       bias_init=nn.initializers.zeros_init(), name='c4')(gelu(xhat))
+        return (x + xhat) if self.residual else xhat
+
+
+class VDBlockPatchDown(nn.Module):
+    """VDBlock + patch downsample (reference: qresvae/model.py:151-159)."""
+    dim: int
+    out_ch: int
+    down_rate: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        x = VDBlock(hidden_ch=round(self.dim * 0.25), out_ch=self.dim,
+                    residual=True, name='block')(x)
+        return patch_downsample(self.out_ch, rate=self.down_rate,
+                                name='downsample')(x)

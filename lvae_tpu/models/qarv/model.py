@@ -1,0 +1,619 @@
+"""QARV: continuously variable-rate hierarchical VAE (TPAMI 2023).
+
+TPU-native re-design of reference lvae/models/qarv/model.py. The reference's
+mode-switched mega-forward (qarv/model.py:77-121) becomes separate pure
+methods sharing one parameter pytree, so each mode compiles to a clean XLA
+program. Encode/decode bit-exactness uses the same shared-stage-program
+design as QRes-VAE (see qresvae/model.py docstring).
+
+Bitstream layout (byte-identical headers to the reference,
+qarv/model.py:516-570):
+    file   = [2H img_h img_w][body]
+    body   = [f lmb][3H nB nH nW][pack_byte_strings(per-latent strings)]
+"""
+import math
+import struct
+from collections import defaultdict
+from pathlib import Path
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+import flax.linen as nn
+
+from lvae_tpu.models import common
+from lvae_tpu.models.common import gelu
+from lvae_tpu.models import entropy_coding as ec
+from lvae_tpu.models.base import VAEModelBase, to_nhwc_batch, image_to_batch, batch_to_image
+from lvae_tpu.ops import cdf as cdf_ops
+from lvae_tpu.utils import coding
+
+
+class VRLVBlockBase(nn.Module):
+    """Variable-Rate Latent Variable Block (reference: qarv/model.py:19-125).
+
+    All submodules are AdaLN-conditioned on the lambda embedding; posterior
+    branch = 3 AdaLN blocks + concat merge.
+    """
+    width: int
+    zdim: int
+    enc_key: str
+    enc_width: int
+    embed_dim: int = 256
+    kernel_size: int = 7
+    mlp_ratio: float = 2
+
+    is_latent_block = True
+    eval_scale_bound = 0.11  # DiscretizedGaussian default table minimum
+
+    def setup(self):
+        w, ks, mr, ed = self.width, self.kernel_size, self.mlp_ratio, self.embed_dim
+        B = common.ConvNeXtBlockAdaLN
+        self.resnet_front = B(w, ed, kernel_size=ks, mlp_ratio=mr)
+        self.resnet_end = B(w, ed, kernel_size=ks, mlp_ratio=mr)
+        self.posterior0 = B(self.enc_width, ed, kernel_size=ks)
+        self.posterior1 = B(w, ed, kernel_size=ks)
+        self.posterior2 = B(w, ed, kernel_size=ks)
+        self.post_merge = common.conv_k1s1(w, name='post_merge')
+        self.posterior = common.conv_k3s1(self.zdim, name='posterior')
+        self.z_proj = common.conv_k1s1(w, name='z_proj')
+        self.prior = common.conv_k1s1(self.zdim * 2, name='prior')
+
+    def coding_scale_table(self):
+        return cdf_ops.default_gaussian_scale_table()
+
+    # --- staged methods (shared by encode & decode) --------------------------
+
+    def prior_stage(self, feature, emb):
+        """p(z_i | z_<i): (feature_mid, pm, pv, coding indexes)."""
+        feature = self.resnet_front(feature, emb)
+        pm, plogv = jnp.split(self.prior(feature), 2, axis=-1)
+        plogv = jax.nn.softplus(plogv + 2.3) - 2.3
+        pv = jnp.exp(plogv)
+        indexes = ec.build_indexes(pv, cdf_ops.default_gaussian_scale_table())
+        return feature, pm, pv, indexes
+
+    def posterior_qm(self, feature, enc_feature, emb):
+        enc_feature = self.posterior0(enc_feature, emb)
+        feature = self.posterior1(feature, emb)
+        merged = jnp.concatenate([feature, enc_feature], axis=-1)
+        merged = self.post_merge(merged)
+        merged = self.posterior2(merged, emb)
+        return self.posterior(merged)
+
+    def posterior_symbols(self, feature, enc_feature, pm, emb):
+        qm = self.posterior_qm(feature, enc_feature, emb)
+        return jnp.round(qm - pm).astype(jnp.int32)
+
+    def fuse_stage(self, feature, pm, symbols, emb):
+        z = symbols.astype(jnp.float32) + pm
+        return self._fuse(feature, z, emb)
+
+    def _fuse(self, feature, z, emb):
+        feature = feature + self.z_proj(z)
+        return self.resnet_end(feature, emb)
+
+    # --- full-graph modes -----------------------------------------------------
+
+    def forward_train(self, feature, enc_feature, emb, training: bool,
+                      get_latent: bool = False):
+        feature, pm, pv, _ = self.prior_stage(feature, emb)
+        qm = self.posterior_qm(feature, enc_feature, emb)
+        if training:
+            noise = jax.random.uniform(self.make_rng('noise'), qm.shape,
+                                       minval=-0.5, maxval=0.5)
+            z = qm + noise
+            kl = -ec.gaussian_log_prob_mass(pm, pv, z, 1.0, 1e-6)
+        else:
+            z = ec.quantize_dequantize(qm, pm)
+            probs = ec.discrete_likelihood(z, pv, pm, self.eval_scale_bound)
+            kl = -jnp.log(probs)
+        feature = self._fuse(feature, z, emb)
+        stats = {'kl': kl}
+        if get_latent:
+            stats['z'] = jax.lax.stop_gradient(z)
+        return feature, stats
+
+    def forward_uncond(self, feature, emb, t=1.0, latent=None):
+        feature, pm, pv, _ = self.prior_stage(feature, emb)
+        if latent is None:
+            eps = jax.random.normal(self.make_rng('sample'), pm.shape)
+            u = jax.random.uniform(self.make_rng('sample'), pm.shape,
+                                   minval=-0.5, maxval=0.5)
+            z = pm + pv * eps * t + u * t
+        else:
+            z = latent
+        return self._fuse(feature, z, emb)
+
+    def __call__(self, feature, enc_feature, emb):  # for init
+        f, _ = self.forward_train(feature, enc_feature, emb, training=False)
+        return f
+
+
+class VRLVBlockSmall(VRLVBlockBase):
+    """Lighter posterior: concat-merge only (reference: qarv/model.py:127-161)."""
+
+    def setup(self):
+        w, ks, mr, ed = self.width, self.kernel_size, self.mlp_ratio, self.embed_dim
+        B = common.ConvNeXtBlockAdaLN
+        self.resnet_front = B(w, ed, kernel_size=ks, mlp_ratio=mr)
+        self.resnet_end = B(w, ed, kernel_size=ks, mlp_ratio=mr)
+        self.posterior2 = B(w, ed, kernel_size=ks, mlp_ratio=mr)
+        self.post_merge = common.conv_k1s1(w, name='post_merge')
+        self.posterior = common.conv_k3s1(self.zdim, name='posterior')
+        self.z_proj = common.conv_k1s1(w, name='z_proj')
+        self.prior = common.conv_k1s1(self.zdim * 2, name='prior')
+
+    def posterior_qm(self, feature, enc_feature, emb):
+        merged = jnp.concatenate([feature, enc_feature], axis=-1)
+        merged = self.post_merge(merged)
+        merged = self.posterior2(merged, emb)
+        return self.posterior(merged)
+
+
+MAX_LMB = 8192.0
+
+
+class VariableRateLossyVAENet(nn.Module):
+    """The full QARV graph (reference: qarv/model.py:169-363)."""
+    enc_blocks: Tuple[Any, ...]
+    dec_blocks: Tuple[Any, ...]
+    im_shift: float
+    im_scale: float
+    max_stride: int = 64
+    lmb_range: Tuple[float, float] = (16.0, 2048.0)
+    lmb_embed_dim: Tuple[int, int] = (256, 256)
+    sin_period: int = 64
+
+    def setup(self):
+        width = self.dec_blocks[0].width
+        self.bias = self.param('bias', nn.initializers.zeros_init(), (1, 1, 1, width))
+        self.lmb_embed_0 = nn.Dense(self.lmb_embed_dim[1], name='lmb_embed_0')
+        self.lmb_embed_1 = nn.Dense(self.lmb_embed_dim[1], name='lmb_embed_1')
+
+    # --- lambda embedding (reference: qarv/model.py:275-287) ------------------
+
+    def get_lmb_embedding(self, lmb):
+        """lmb: (B,) float -> (B, embed_dim)."""
+        scaled = jnp.log(lmb) * (self.sin_period / math.log(MAX_LMB))
+        emb = common.sinusoidal_embedding(scaled, dim=self.lmb_embed_dim[0],
+                                          max_period=self.sin_period)
+        emb = self.lmb_embed_0(emb)
+        emb = gelu(emb)
+        emb = self.lmb_embed_1(emb)
+        return emb
+
+    # --- image pre/post -------------------------------------------------------
+
+    def preprocess_input(self, im):
+        return (im + self.im_shift) * self.im_scale
+
+    def preprocess_target(self, im):
+        return (im - 0.5) * 2.0
+
+    def seed_feature(self, batch, h, w):
+        return jnp.broadcast_to(self.bias, (batch, h, w, self.bias.shape[-1]))
+
+    # --- encoder backbone -------------------------------------------------------
+
+    def encode(self, x, emb):
+        """Run encoder blocks; capture features at SetKey markers
+        (reference: common.py:84-98)."""
+        features = {}
+        for block in self.enc_blocks:
+            if isinstance(block, common.SetKey):
+                features[block.key] = x
+            elif getattr(block, 'requires_embedding', False):
+                x = block(x, emb)
+            else:
+                x = block(x)
+        return x, features
+
+    # --- full forward (trainval) -----------------------------------------------
+
+    def forward_end2end(self, im, lmb, training: bool = False,
+                        get_latent: bool = False):
+        x = self.preprocess_input(im)
+        emb = self.get_lmb_embedding(lmb)
+        _, enc_features = self.encode(x, emb)
+        nB, xH, xW, _ = x.shape
+        feature = self.seed_feature(nB, xH // self.max_stride, xW // self.max_stride)
+        block_stats = []
+        for block in self.dec_blocks:
+            if getattr(block, 'is_latent_block', False):
+                f_enc = enc_features[block.enc_key]
+                feature, stats = block.forward_train(feature, f_enc, emb,
+                                                     training, get_latent)
+                block_stats.append(stats)
+            elif getattr(block, 'requires_embedding', False):
+                feature = block(feature, emb)
+            elif isinstance(block, common.CompressionStopFlag):
+                continue
+            else:
+                feature = block(feature)
+        return feature, block_stats
+
+    def forward_sampling(self, lmb, latents, bhw_repeat, t=1.0):
+        """Conditional/unconditional sampling
+        (reference: qarv/model.py:365-404). latents: list with None entries
+        meaning 'sample from prior'."""
+        emb = self.get_lmb_embedding(lmb)
+        nB, nH, nW = bhw_repeat
+        feature = self.seed_feature(nB, nH, nW)
+        idx = 0
+        for block in self.dec_blocks:
+            if getattr(block, 'is_latent_block', False):
+                feature = block.forward_uncond(feature, emb, t, latent=latents[idx])
+                idx += 1
+            elif getattr(block, 'requires_embedding', False):
+                feature = block(feature, emb)
+            elif isinstance(block, common.CompressionStopFlag):
+                continue
+            else:
+                feature = block(feature)
+        return feature
+
+    # --- per-block staged programs ------------------------------------------------
+
+    def encode_backbone(self, im, lmb):
+        x = self.preprocess_input(im)
+        emb = self.get_lmb_embedding(lmb)
+        _, features = self.encode(x, emb)
+        return emb, features
+
+    def dec_prior_stage(self, feature, emb, k: int):
+        return self.dec_blocks[k].prior_stage(feature, emb)
+
+    def dec_posterior_symbols(self, feature, enc_feature, pm, emb, k: int):
+        return self.dec_blocks[k].posterior_symbols(feature, enc_feature, pm, emb)
+
+    def dec_fuse_stage(self, feature, pm, symbols, emb, k: int):
+        return self.dec_blocks[k].fuse_stage(feature, pm, symbols, emb)
+
+    def dec_plain_block(self, feature, emb, k: int):
+        block = self.dec_blocks[k]
+        if getattr(block, 'requires_embedding', False):
+            return block(feature, emb)
+        return block(feature)
+
+    def __call__(self, im, lmb):  # init only
+        feature, stats = self.forward_end2end(im, lmb, training=False)
+        return feature
+
+
+log2_e = math.log2(math.e)
+
+
+class QarvModel(VAEModelBase):
+    """User-facing QARV handle (reference: qarv/model.py:169-581)."""
+
+    def __init__(self, net: VariableRateLossyVAENet, seed=0, example_hw=64,
+                 log_images=()):
+        self.lmb_range = tuple(float(v) for v in net.lmb_range)
+        self.default_lmb = self.lmb_range[1]
+        self._logging_images = list(log_images)
+        # base init needs lmb arg -> custom init
+        self.net = net
+        dummy = jnp.zeros((1, example_hw, example_hw, 3), jnp.float32)
+        dummy_lmb = jnp.full((1,), self.lmb_range[1], jnp.float32)
+        self.params = net.init({'params': jax.random.PRNGKey(seed)}, dummy, dummy_lmb)['params']
+        self.num_latents = sum(1 for b in net.dec_blocks
+                               if getattr(b, 'is_latent_block', False))
+        self._coder = ec.DiscretizedConditional(
+            cdf_ops.default_gaussian_scale_table(), dist='gaussian')
+        self.compressing = False
+
+    # ----------------------------------------------------------------- training
+    def sample_lmb(self, rng, n):
+        """Per-image lambda, uniform in cube-root space
+        (reference: qarv/model.py:258-264)."""
+        low, high = self.lmb_range
+        p = 3.0
+        lo, hi = low ** (1 / p), high ** (1 / p)
+        u = jax.random.uniform(rng, (n,), minval=lo, maxval=hi)
+        return jnp.power(u, p)
+
+    def loss_and_stats(self, params, im, rng, lmb=None, training=True):
+        """Pure loss function (jit/pjit-able). Samples per-image lambda when
+        not provided (reference: qarv/model.py:317-363)."""
+        nB, H, W, C = im.shape
+        rng_lmb, rng_noise = jax.random.split(rng)
+        if lmb is None:
+            lmb = self.sample_lmb(rng_lmb, nB)
+        x_hat, stats_all = self.net.apply(
+            {'params': params}, im, lmb, training, False,
+            method=self.net.forward_end2end, rngs={'noise': rng_noise})
+        ndims = float(C * H * W)
+        kl = sum(jnp.sum(st['kl'], axis=(1, 2, 3)) for st in stats_all) / ndims
+        x_target = (im - 0.5) * 2.0
+        distortion = jnp.mean(jnp.square(x_hat - x_target), axis=(1, 2, 3))
+        loss = jnp.mean(kl + lmb * distortion)
+        im_hat = jnp.clip(x_hat, -1, 1) * 0.5 + 0.5
+        im_mse = jnp.mean(jnp.square(im_hat - im))
+        stats = {'loss': loss, 'bppix': jnp.mean(kl) * log2_e * C,
+                 'mse': jnp.mean(distortion), 'mse_im': im_mse}
+        return loss, stats
+
+    def forward(self, im, lmb=None, return_rec=False):
+        im = to_nhwc_batch(im)
+        nB = im.shape[0]
+        if lmb is None:
+            lmb = self.default_lmb
+        lmb_arr = jnp.full((nB,), float(lmb), jnp.float32) \
+            if np.ndim(lmb) == 0 else jnp.asarray(lmb, jnp.float32)
+        loss, stats = self._jit_eval(self.params, im, lmb_arr)
+        stats = {k: float(v) for k, v in stats.items()}
+        stats['psnr'] = -10 * math.log10(max(stats.pop('mse_im'), 1e-12))
+        if return_rec:
+            stats['im_hat'] = np.asarray(self.reconstruct(im, lmb_arr))
+        return stats
+
+    @property
+    def _jit_eval(self):
+        if not hasattr(self, '_jit_eval_fn'):
+            def f(params, im, lmb):
+                return self.loss_and_stats(params, im, jax.random.PRNGKey(0),
+                                           lmb=lmb, training=False)
+            self._jit_eval_fn = jax.jit(f)
+        return self._jit_eval_fn
+
+    def reconstruct(self, im, lmb_arr):
+        if not hasattr(self, '_jit_rec_fn'):
+            def f(params, im, lmb):
+                x_hat, _ = self.net.apply({'params': params}, im, lmb, False,
+                                          False, method=self.net.forward_end2end,
+                                          rngs={'noise': jax.random.PRNGKey(0)})
+                return jnp.clip(x_hat, -1, 1) * 0.5 + 0.5
+            self._jit_rec_fn = jax.jit(f)
+        return self._jit_rec_fn(self.params, to_nhwc_batch(im), lmb_arr)
+
+    # ----------------------------------------------------------------- sampling
+    def _expand_lmb(self, lmb, n):
+        if np.ndim(lmb) == 0:
+            return jnp.full((n,), float(lmb), jnp.float32)
+        return jnp.asarray(lmb, jnp.float32)
+
+    def conditional_sample(self, lmb, latents, bhw_repeat=None, t=1.0, seed=0):
+        """(reference: qarv/model.py:365-395)"""
+        if latents[0] is None:
+            assert bhw_repeat is not None
+            nB, nH, nW = bhw_repeat
+        else:
+            assert len(latents) == self.num_latents
+            nB, nH, nW = latents[0].shape[0], latents[0].shape[1], latents[0].shape[2]
+        lmb_arr = self._expand_lmb(lmb, nB)
+        feature = self.net.apply(
+            {'params': self.params}, lmb_arr, list(latents), (nB, nH, nW), t,
+            method=self.net.forward_sampling,
+            rngs={'sample': jax.random.PRNGKey(seed)})
+        return np.clip(np.asarray(feature), -1, 1) * 0.5 + 0.5
+
+    def unconditional_sample(self, lmb, bhw_repeat, t=1.0, seed=0):
+        return self.conditional_sample(lmb, [None] * self.num_latents,
+                                       bhw_repeat=bhw_repeat, t=t, seed=seed)
+
+    def study(self, save_dir, **kwargs):
+        """Sample/reconstruction grids for logging
+        (reference: qarv/model.py:406-425)."""
+        save_dir = Path(save_dir)
+        save_dir.mkdir(parents=True, exist_ok=True)
+        for k in (1, 2):
+            ims = self.unconditional_sample(self.default_lmb, bhw_repeat=(6, k, k))
+            grid = np.concatenate(list(ims), axis=1)
+            batch_to_image(grid[None]).save(
+                save_dir / f'samples_k{k}_hw{ims.shape[1]}.png')
+        for imname in self._logging_images:
+            impath = Path('images') / imname
+            if not impath.is_file():
+                continue
+            im = image_to_batch(Image.open(impath))
+            rec = np.asarray(self.reconstruct(
+                im, self._expand_lmb(self.default_lmb, 1)))
+            side = np.concatenate([np.asarray(im)[0], rec[0]], axis=1)
+            batch_to_image(side[None]).save(save_dir / imname)
+
+    # ----------------------------------------------------------------- eval
+    def self_evaluate(self, img_dir, lmb_range=None, steps=8, log_dir=None):
+        """Forward-only lambda sweep (reference: qarv/model.py:427-507)."""
+        img_paths = sorted(Path(img_dir).rglob('*.*'))
+        start, end = self.lmb_range if lmb_range is None else lmb_range
+        lambdas = np.exp(np.linspace(math.log(start), math.log(end), steps))
+        all_lmb_stats = defaultdict(list)
+        for lmb in lambdas.tolist():
+            results = self._self_evaluate(img_paths, lmb, log_dir=log_dir)
+            for k, v in results.items():
+                all_lmb_stats[k].append(v)
+        return dict(all_lmb_stats)
+
+    def _self_evaluate(self, img_paths, lmb: float, log_dir=None):
+        accum = defaultdict(float)
+        channel_bpp_sums = defaultdict(lambda: 0.0)
+        count = 0
+        for impath in img_paths:
+            img = Image.open(impath).convert('RGB')
+            imgh, imgw = img.height, img.width
+            img_padded = coding.pad_divisible_by(img, div=self.net.max_stride)
+            im = image_to_batch(img_padded)
+            lmb_arr = self._expand_lmb(lmb, 1)
+            x_hat, stats_all = self._jit_e2e_eval(self.params, im, lmb_arr)
+            kl_total = float(sum(np.sum(np.asarray(st['kl'])) for st in stats_all))
+            kl = kl_total / (3 * imgh * imgw)
+            bpp_estimated = kl * log2_e * 3
+            x_hat = np.asarray(x_hat)[:, :imgh, :imgw, :]
+            real = np.asarray(image_to_batch(img))
+            x_target = (real - 0.5) * 2.0
+            distortion = float(np.mean(np.square(x_hat - x_target)))
+            fake = np.clip(x_hat, -1, 1) * 0.5 + 0.5
+            mse = float(np.mean(np.square(real - fake)))
+            psnr = -10 * math.log10(max(mse, 1e-12))
+            count += 1
+            accum['loss'] += kl + lmb * distortion
+            accum['bpp'] += bpp_estimated
+            accum['psnr'] += psnr
+            if log_dir is not None:
+                imH, imW = im.shape[1], im.shape[2]
+                for i, st in enumerate(stats_all):
+                    ch_bpp = np.asarray(st['kl']).sum(axis=(1, 2)).mean(0) / (imH * imW) * log2_e
+                    channel_bpp_sums[i] = channel_bpp_sums[i] + ch_bpp
+        avg = {k: v / count for k, v in accum.items()}
+        avg['lambda'] = lmb
+        if log_dir is not None:
+            self._log_channel_stats(channel_bpp_sums, count, Path(log_dir), lmb)
+        return avg
+
+    @staticmethod
+    def _log_channel_stats(channel_bpp_sums, count, log_dir, lmb):
+        """(reference: qarv/model.py:475-489)"""
+        msg = '=' * 64 + '\n'
+        msg += '---- row: latent blocks, colums: channels, avg over images ----\n'
+        keys = sorted(channel_bpp_sums.keys())
+        for k in keys:
+            avg = channel_bpp_sums[k] / count
+            msg += ''.join(f'{a:<7.4f} ' for a in np.atleast_1d(avg).tolist()) + '\n'
+        msg += '---- colums: latent blocks, avg over images ----\n'
+        block_bpps = [float(np.sum(channel_bpp_sums[k] / count)) for k in keys]
+        msg += ''.join(f'{a:<7.4f} ' for a in block_bpps) + '\n'
+        log_dir.mkdir(parents=True, exist_ok=True)
+        with open(log_dir / f'channel-bppix-lmb{round(lmb)}.txt', 'a') as f:
+            print(msg, file=f)
+        with open(log_dir / 'all_lmb_channel_stats.txt', 'a') as f:
+            print(msg, file=f)
+
+    @property
+    def _jit_e2e_eval(self):
+        if not hasattr(self, '_jit_e2e_fn'):
+            def f(params, im, lmb):
+                return self.net.apply({'params': params}, im, lmb, False, False,
+                                      method=self.net.forward_end2end,
+                                      rngs={'noise': jax.random.PRNGKey(0)})
+            self._jit_e2e_fn = jax.jit(f)
+        return self._jit_e2e_fn
+
+    # ------------------------------------------------------------- compression
+    def compress_mode(self, mode=True):
+        if mode:
+            self._coder.update()
+            self._build_stage_fns()
+        self.compressing = mode
+
+    def _build_stage_fns(self):
+        if hasattr(self, '_stage_fns'):
+            return
+        net = self.net
+
+        def backbone(params, im, lmb):
+            return net.apply({'params': params}, im, lmb,
+                             method=net.encode_backbone)
+
+        def emb_fn(params, lmb):
+            return net.apply({'params': params}, lmb,
+                             method=net.get_lmb_embedding)
+
+        def prior(params, feature, emb, k):
+            return net.apply({'params': params}, feature, emb, k,
+                             method=net.dec_prior_stage)
+
+        def post_sym(params, feature, enc_f, pm, emb, k):
+            return net.apply({'params': params}, feature, enc_f, pm, emb, k,
+                             method=net.dec_posterior_symbols)
+
+        def fuse(params, feature, pm, symbols, emb, k):
+            return net.apply({'params': params}, feature, pm, symbols, emb, k,
+                             method=net.dec_fuse_stage)
+
+        def plain(params, feature, emb, k):
+            return net.apply({'params': params}, feature, emb, k,
+                             method=net.dec_plain_block)
+
+        self._stage_fns = {
+            'backbone': jax.jit(backbone),
+            'emb': jax.jit(emb_fn),
+            'prior': jax.jit(prior, static_argnums=3),
+            'post_sym': jax.jit(post_sym, static_argnums=5),
+            'fuse': jax.jit(fuse, static_argnums=5),
+            'plain': jax.jit(plain, static_argnums=3),
+        }
+
+    def compress(self, im, lmb=None):
+        """Compress one image -> bytes (reference: qarv/model.py:516-529)."""
+        assert self.compressing, 'call compress_mode() first'
+        im = to_nhwc_batch(im)
+        nB, imH, imW, _ = im.shape
+        assert nB == 1, f'only a single image is supported, got {im.shape=}'
+        lmb = float(lmb) if lmb is not None else float(self.default_lmb)
+        # struct 'f' stores float32; use the same rounded value on both sides
+        lmb_f32 = struct.unpack('f', struct.pack('f', lmb))[0]
+        fns, params = self._stage_fns, self.params
+        lmb_arr = jnp.full((nB,), lmb_f32, jnp.float32)
+        emb, enc_features = fns['backbone'](params, im, lmb_arr)
+        nH, nW = imH // self.net.max_stride, imW // self.net.max_stride
+        feature = jnp.broadcast_to(params['bias'],
+                                   (nB, nH, nW, params['bias'].shape[-1]))
+        per_block = []
+        for k, block in enumerate(self.net.dec_blocks):
+            if getattr(block, 'is_latent_block', False):
+                f_mid, pm, pv, indexes = fns['prior'](params, feature, emb, k)
+                symbols = fns['post_sym'](params, f_mid,
+                                          enc_features[block.enc_key], pm, emb, k)
+                feature = fns['fuse'](params, f_mid, pm, symbols, emb, k)
+                per_block.append((symbols, indexes))
+            elif isinstance(block, common.CompressionStopFlag):
+                break
+            else:
+                feature = fns['plain'](params, feature, emb, k)
+        per_block_np = jax.device_get(per_block)
+        assert len(per_block_np) == self.num_latents
+        all_strings = [self._coder.compress_symbols(s[0], ix[0])
+                       for s, ix in per_block_np]
+        string = coding.pack_byte_strings(all_strings)
+        header1 = struct.pack('f', lmb_f32)
+        header2 = struct.pack('3H', nB, nH, nW)
+        return header1 + header2 + string
+
+    def decompress(self, string):
+        """(reference: qarv/model.py:531-557)"""
+        assert self.compressing, 'call compress_mode() first'
+        lmb, string = struct.unpack('f', string[:4])[0], string[4:]
+        (nB, nH, nW), string = struct.unpack('3H', string[:6]), string[6:]
+        all_lv_strings = coding.unpack_byte_string(string)
+        fns, params = self._stage_fns, self.params
+        lmb_arr = jnp.full((nB,), lmb, jnp.float32)
+        emb = fns['emb'](params, lmb_arr)
+        feature = jnp.broadcast_to(params['bias'],
+                                   (nB, nH, nW, params['bias'].shape[-1]))
+        str_i = 0
+        for k, block in enumerate(self.net.dec_blocks):
+            if getattr(block, 'is_latent_block', False):
+                f_mid, pm, pv, indexes = fns['prior'](params, feature, emb, k)
+                idx_np = np.asarray(indexes)
+                syms = self._coder.decompress_symbols(
+                    all_lv_strings[str_i], idx_np[0]).reshape(idx_np[0].shape)
+                str_i += 1
+                feature = fns['fuse'](params, f_mid, pm,
+                                      jnp.asarray(syms)[None], emb, k)
+            elif isinstance(block, common.CompressionStopFlag):
+                continue
+            else:
+                feature = fns['plain'](params, feature, emb, k)
+        assert str_i == len(all_lv_strings), f'{str_i=} != {len(all_lv_strings)=}'
+        return np.clip(np.asarray(feature), -1, 1) * 0.5 + 0.5
+
+    def compress_file(self, img_path, output_path, lmb=None):
+        """(reference: qarv/model.py:559-570)"""
+        img = Image.open(img_path).convert('RGB')
+        img_padded = coding.pad_divisible_by(img, div=self.net.max_stride)
+        im = image_to_batch(img_padded)
+        body_str = self.compress(im, lmb=lmb)
+        header_str = struct.pack('2H', img.height, img.width)
+        with open(output_path, 'wb') as f:
+            f.write(header_str + body_str)
+
+    def decompress_file(self, bits_path):
+        with open(bits_path, 'rb') as f:
+            header_str = f.read(4)
+            body_str = f.read()
+        img_h, img_w = struct.unpack('2H', header_str)
+        im_hat = self.decompress(body_str)
+        return im_hat[:, :img_h, :img_w, :]

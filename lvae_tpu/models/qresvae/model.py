@@ -1,0 +1,638 @@
+"""QRes-VAE: fixed-rate hierarchical VAE (WACV 2023).
+
+TPU-native re-design of reference lvae/models/qresvae/model.py. The network
+is a flax.linen module (NHWC); the user-facing API lives in `QresModel`,
+which mirrors the reference HierarchicalVAE methods (forward / compress /
+decompress / compress_file / uncond_sample / cond_sample / inpaint ...).
+
+Bit-exact coding design (differs from the reference's per-block host
+round-trips, reference qresvae/model.py:327-360): encoder and decoder both
+drive the SAME jitted per-block stage programs (`prior_stage`,
+`fuse_stage`) so the prior means and scale indexes they compute are
+bit-identical by construction. Encode additionally runs `posterior_symbols`
+per block, keeps everything on-device, and pulls all symbol tensors to the
+host in one transfer for the rANS stage.
+"""
+import math
+import pickle
+from pathlib import Path
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+import flax.linen as nn
+
+from lvae_tpu.models import common
+from lvae_tpu.models.common import gelu
+from lvae_tpu.models import entropy_coding as ec
+from lvae_tpu.models.base import VAEModelBase, to_nhwc_batch, image_to_batch, batch_to_image
+from lvae_tpu.ops import cdf as cdf_ops
+from lvae_tpu.utils import coding
+
+
+class MSEOutputNet(nn.Module):
+    """lambda * MSE output head (reference: qresvae/model.py:97-117)."""
+    mse_lmb: float
+    loss_name = 'mse'
+
+    def forward_loss(self, x_hat, x_tgt):
+        mse = jnp.mean(jnp.square(x_hat - x_tgt), axis=(1, 2, 3))
+        return mse * self.mse_lmb, x_hat
+
+    def mean(self, x_hat, temprature=None):
+        return x_hat
+
+    def sample(self, x_hat, rng=None, temprature=None):
+        return x_hat
+
+    def __call__(self, x_hat, x_tgt):  # for init
+        return self.forward_loss(x_hat, x_tgt)
+
+
+class GaussianNLLOutputNet(nn.Module):
+    """Per-pixel discretized-Gaussian NLL head for lossless coding
+    (reference: qresvae/model.py:16-94)."""
+    conv_mean: nn.Module
+    conv_scale: nn.Module
+    bin_size: float = 1 / 127.5
+    loss_name = 'nll'
+
+    def _params(self, feature):
+        feature = feature.astype(jnp.float32)
+        p_mean = self.conv_mean(feature)
+        p_logscale = self.conv_scale(feature)
+        p_logscale = jax.nn.softplus(p_logscale + 16.0) - 16.0  # logscale lower bound
+        return p_mean, p_logscale
+
+    def forward_loss(self, feature, x_tgt):
+        p_mean, p_logscale = self._params(feature)
+        log_prob = ec.gaussian_log_prob_mass(
+            p_mean, jnp.exp(p_logscale), x_tgt, bin_size=self.bin_size)
+        nll = -jnp.mean(log_prob, axis=(1, 2, 3))
+        return nll, p_mean
+
+    def mean(self, feature, temprature=None):
+        p_mean, _ = self._params(feature)
+        return p_mean
+
+    def sample(self, feature, rng, temprature=None):
+        p_mean, p_logscale = self._params(feature)
+        p_scale = jnp.exp(p_logscale)
+        if temprature is not None:
+            p_scale = p_scale * temprature
+        return p_mean + p_scale * jax.random.normal(rng, p_mean.shape)
+
+    def codec_tensors(self, feature, x_tgt=None):
+        """Produce (pm, plogv[, x]) in bin units for the entropy-coding stage.
+        The round-to-grid trick on pm guarantees bit-exact lossless round-trip
+        (reference: qresvae/model.py:69-79)."""
+        p_mean, p_logscale = self._params(feature)
+        pm = jnp.round(p_mean * 127.5 + 127.5) / 127.5 - 1.0
+        pm = pm / self.bin_size
+        plogv = p_logscale - math.log(self.bin_size)
+        if x_tgt is not None:
+            return pm, plogv, x_tgt / self.bin_size
+        return pm, plogv
+
+    def __call__(self, feature, x_tgt):  # for init
+        return self.forward_loss(feature, x_tgt)
+
+
+class BottomUpEncoder(nn.Module):
+    """Run encoder blocks, keep features keyed by spatial resolution
+    (reference: qresvae/model.py:195-207)."""
+    blocks: Tuple[nn.Module, ...]
+
+    @nn.compact
+    def __call__(self, x):
+        feature = x
+        enc_features = {}
+        for block in self.blocks:
+            feature = block(feature)
+            enc_features[int(feature.shape[1])] = feature
+        return enc_features
+
+
+class QLatentBlock(nn.Module):
+    """Fixed-rate latent block (reference: qresvae/model.py:210-360).
+
+    ConvNeXt front/end, VDBlock posterior/prior, zero-init prior, softplus
+    log-scale floor -2.3, residual quantization at eval/coding time.
+    """
+    width: int
+    zdim: int
+    enc_width: Optional[int] = None
+    kernel_size: int = 7
+    rescale_z: float = 1.0  # z_proj last-conv init scaling, set by the zoo
+
+    is_latent_block = True
+
+    # scale bound used for the eval-time likelihood (the reference's
+    # GaussianConditional keeps its initial 0.11 lower bound even after the
+    # coding table is rebuilt with min 0.1 — see SURVEY.md C15)
+    eval_scale_bound = 0.11
+
+    def setup(self):
+        w, zdim = self.width, self.zdim
+        enc_width = self.enc_width or w
+        hidden = int(max(w, enc_width) * 0.25)
+        use_3x3 = self.kernel_size >= 3
+        self.resnet_front = common.MyConvNeXtBlock(w, kernel_size=self.kernel_size)
+        self.resnet_end = common.MyConvNeXtBlock(w, kernel_size=self.kernel_size)
+        self.posterior = common.VDBlock(hidden, zdim, residual=False, use_3x3=use_3x3)
+        self.prior = common.VDBlock(hidden, zdim * 2, residual=False,
+                                    use_3x3=use_3x3, zero_last=True)
+        zc = common.conv_k3s1 if use_3x3 else common.conv_k1s1
+        self.z_proj_0 = zc(hidden // 2, name='z_proj_0')
+        # last conv of z_proj is init-rescaled like the reference's
+        # residual_scaling (qresvae/model.py:242-243)
+        base = nn.initializers.lecun_normal()
+        s = self.rescale_z
+
+        def kinit(key, shape, dtype=jnp.float32):
+            return base(key, shape, dtype) * s
+        self.z_proj_1 = nn.Conv(w, (1, 1), kernel_init=kinit,
+                                bias_init=nn.initializers.zeros_init(),
+                                name='z_proj_1')
+
+    # coding scale table: 64 log-spaced in [0.1, 20]
+    # (reference: qresvae/model.py:317-325)
+    def coding_scale_table(self):
+        return cdf_ops.qres_latent_scale_table()
+
+    # --- staged methods (shared between encode & decode paths) -------------
+
+    def prior_stage(self, feature):
+        """p(z_i | z_<i): returns (feature_mid, pm, pv, coding indexes)."""
+        feature = self.resnet_front(feature)
+        p_out = self.prior(feature)
+        pm, plogv = jnp.split(p_out, 2, axis=-1)
+        plogv = jax.nn.softplus(plogv + 2.3) - 2.3
+        pv = jnp.exp(plogv)
+        indexes = ec.build_indexes(pv, cdf_ops.qres_latent_scale_table())
+        return feature, pm, pv, indexes
+
+    def posterior_qm(self, feature, enc_feature):
+        return self.posterior(jnp.concatenate([feature, enc_feature], axis=-1))
+
+    def posterior_symbols(self, feature, enc_feature, pm):
+        """Encode-side: quantized residual symbols (int32)."""
+        qm = self.posterior_qm(feature, enc_feature)
+        return jnp.round(qm - pm).astype(jnp.int32)
+
+    def fuse_stage(self, feature, pm, symbols):
+        """Add the information carried by decoded symbols to the feature."""
+        z = symbols.astype(jnp.float32) + pm
+        return self._fuse(feature, z)
+
+    def _fuse(self, feature, z):
+        z = self.z_proj_1(gelu(self.z_proj_0(z)))
+        return self.resnet_end(feature + z)
+
+    # --- full-graph modes ---------------------------------------------------
+
+    def forward_train(self, feature, enc_feature, training: bool,
+                      get_latents: bool = False):
+        feature, pm, pv, _ = self.prior_stage(feature)
+        qm = self.posterior_qm(feature, enc_feature)
+        if training:
+            noise = jax.random.uniform(self.make_rng('noise'), qm.shape,
+                                       minval=-0.5, maxval=0.5)
+            z_sample = qm + noise
+            kl = -ec.gaussian_log_prob_mass(pm, pv, z_sample, 1.0, 1e-6)
+        else:
+            z_sample = ec.quantize_dequantize(qm, pm)
+            probs = ec.discrete_likelihood(z_sample, pv, pm, self.eval_scale_bound)
+            kl = -jnp.log(probs)
+        feature = self._fuse(feature, z_sample)
+        stats = {'kl': kl}
+        if get_latents:
+            stats['z'] = jax.lax.stop_gradient(z_sample)
+        return feature, stats
+
+    def forward_uncond(self, feature, t=1.0, latent=None, paint_mask=None):
+        """Sampling mode (reference: qresvae/model.py:284-315).
+
+        paint_mask: float mask (broadcastable to latent shape), 1 where the
+        latent should be replaced by a fresh prior sample (inpainting box).
+        """
+        feature, pm, pv, _ = self.prior_stage(feature)
+        pv = pv * t
+        if latent is None or paint_mask is not None:
+            eps = jax.random.normal(self.make_rng('sample'), pm.shape)
+            u = jax.random.uniform(self.make_rng('sample'), pm.shape,
+                                   minval=-0.5, maxval=0.5)
+            z_sample = pm + pv * eps + u * t
+            if latent is None:
+                z = z_sample
+            else:
+                z = latent * (1.0 - paint_mask) + z_sample * paint_mask
+        else:
+            z = latent
+        return self._fuse(feature, z)
+
+    def __call__(self, feature, enc_feature):  # for init
+        f, _ = self.forward_train(feature, enc_feature, training=False)
+        return f
+
+
+class HierarchicalVAENet(nn.Module):
+    """The full QRes-VAE graph (reference: qresvae/model.py:457-569 for the
+    training forward; decode seeding at :379-391)."""
+    enc_blocks: Tuple[nn.Module, ...]
+    dec_blocks: Tuple[Any, ...]
+    out_net: nn.Module
+    im_shift: float
+    im_scale: float
+    max_stride: int = 64
+
+    def setup(self):
+        self.encoder = BottomUpEncoder(self.enc_blocks)
+        width = self.dec_blocks[0].width
+        self.bias = self.param('bias', nn.initializers.zeros_init(), (1, 1, 1, width))
+
+    def preprocess_input(self, im):
+        return (im + self.im_shift) * self.im_scale
+
+    def preprocess_target(self, im):
+        return (im - 0.5) * 2.0
+
+    def encode(self, x):
+        return self.encoder(x)
+
+    def seed_feature(self, batch, h, w):
+        return jnp.broadcast_to(self.bias, (batch, h, w, self.bias.shape[-1]))
+
+    def forward(self, im, training: bool = False, get_latents: bool = False):
+        """Trainval forward: returns (out_loss, x_hat, kl list[, z list])."""
+        x = self.preprocess_input(im)
+        x_target = self.preprocess_target(im)
+        enc_features = self.encode(x)
+        min_res = min(enc_features.keys())
+        f0 = enc_features[min_res]
+        feature = self.seed_feature(f0.shape[0], f0.shape[1], f0.shape[2])
+        stats_all = []
+        for block in self.dec_blocks:
+            if getattr(block, 'is_latent_block', False):
+                res = int(feature.shape[1])
+                feature, stats = block.forward_train(
+                    feature, enc_features[res], training, get_latents)
+                stats_all.append(stats)
+            else:
+                feature = block(feature)
+        out_loss, x_hat = self.out_net.forward_loss(feature, x_target)
+        return out_loss, x_hat, stats_all
+
+    def forward_uncond(self, nhw_repeat=(1, 1, 1), t=1.0):
+        nB, nH, nW = nhw_repeat
+        feature = self.seed_feature(nB, nH, nW)
+        for block in self.dec_blocks:
+            if getattr(block, 'is_latent_block', False):
+                feature = block.forward_uncond(feature, t)
+            else:
+                feature = block(feature)
+        return feature
+
+    def forward_with_latents(self, latents, nhw_repeat=None, t=1.0,
+                             paint_masks=None):
+        if nhw_repeat is None:
+            nB, nH, nW = latents[0].shape[0], latents[0].shape[1], latents[0].shape[2]
+        else:
+            nB, nH, nW = nhw_repeat
+        feature = self.seed_feature(nB, nH, nW)
+        idx = 0
+        for block in self.dec_blocks:
+            if getattr(block, 'is_latent_block', False):
+                pm = None if paint_masks is None else paint_masks[idx]
+                feature = block.forward_uncond(feature, t, latent=latents[idx],
+                                               paint_mask=pm)
+                idx += 1
+            else:
+                feature = block(feature)
+        return feature
+
+    def sample_output(self, feature, rng, temprature=None):
+        return self.out_net.sample(feature, rng=rng, temprature=temprature) \
+            if isinstance(self.out_net, GaussianNLLOutputNet) \
+            else self.out_net.sample(feature, temprature=temprature)
+
+    def out_mean(self, feature):
+        return self.out_net.mean(feature)
+
+    def out_codec_tensors(self, feature, x_tgt=None):
+        return self.out_net.codec_tensors(feature, x_tgt)
+
+    def target_from_im(self, im):
+        return self.preprocess_target(im)
+
+    # --- per-block staged programs (compress/decompress) --------------------
+
+    def dec_prior_stage(self, feature, k: int):
+        return self.dec_blocks[k].prior_stage(feature)
+
+    def dec_posterior_symbols(self, feature, enc_feature, pm, k: int):
+        return self.dec_blocks[k].posterior_symbols(feature, enc_feature, pm)
+
+    def dec_fuse_stage(self, feature, pm, symbols, k: int):
+        return self.dec_blocks[k].fuse_stage(feature, pm, symbols)
+
+    def dec_plain_block(self, feature, k: int):
+        return self.dec_blocks[k](feature)
+
+    def __call__(self, im):  # for init only
+        out_loss, x_hat, stats = self.forward(im, training=False)
+        return out_loss
+
+
+log2_e = math.log2(math.e)
+
+
+class QresModel(VAEModelBase):
+    """User-facing handle mirroring the reference HierarchicalVAE API
+    (reference: qresvae/model.py:457-725)."""
+
+    def __init__(self, net: HierarchicalVAENet, seed=0, example_hw=64):
+        super().__init__(net, seed=seed, example_hw=example_hw)
+        self.lossless = isinstance(net.out_net, GaussianNLLOutputNet)
+        self.num_latents = sum(1 for b in net.dec_blocks
+                               if getattr(b, 'is_latent_block', False))
+        # discretized conditionals: one per latent block (same table for all
+        # QRes blocks) + optionally one for the lossless head
+        self._block_coder = ec.DiscretizedConditional(
+            cdf_ops.qres_latent_scale_table(), dist='gaussian')
+        self._head_coder = ec.DiscretizedConditional(
+            cdf_ops.lossless_head_scale_table(), dist='gaussian') if self.lossless else None
+        self.compressing = False
+
+    # ------------------------------------------------------------------ train
+    def loss_and_stats(self, params, im, rng, training=True):
+        """Pure loss function (used by the trainer; jit/pjit-able)."""
+        out_loss, x_hat, stats_all = self.net.apply(
+            {'params': params}, im, training, False,
+            method=self.net.forward, rngs={'noise': rng})
+        nB, H, W, C = im.shape
+        ndims = C * H * W
+        kl_divs = [jnp.sum(st['kl'], axis=(1, 2, 3)) for st in stats_all]
+        kl = sum(kl_divs) / ndims
+        loss = jnp.mean(kl + out_loss)
+        im_hat = jnp.clip(x_hat, -1.0, 1.0) * 0.5 + 0.5
+        im_mse = jnp.mean(jnp.square(im_hat - im))
+        stats = {
+            'loss': loss,
+            'kl': jnp.mean(kl),
+            self.net.out_net.loss_name: jnp.mean(out_loss),
+            'bppix': jnp.mean(kl) * log2_e * C,
+            'mse_im': im_mse,
+        }
+        return loss, stats
+
+    def forward(self, im, return_rec=False):
+        """Eval/inspection forward; accepts numpy/PIL-sourced batches in [0,1].
+        Returns a stats dict like the reference forward (qresvae/model.py:517-569)."""
+        im = to_nhwc_batch(im)
+        self._check_input(im)
+        loss, stats = self._jit_eval_forward(self.params, im)
+        stats = {k: float(v) for k, v in stats.items()}
+        stats['psnr'] = -10 * math.log10(max(stats.pop('mse_im'), 1e-12))
+        if return_rec:
+            stats['im_hat'] = np.asarray(self._jit_reconstruct(self.params, im))
+        return stats
+
+    def _check_input(self, im):
+        assert im.ndim == 4 and im.shape[3] == 3
+        assert im.shape[1] % self.net.max_stride == 0
+        assert im.shape[2] % self.net.max_stride == 0
+
+    @property
+    def _jit_eval_forward(self):
+        if not hasattr(self, '_jit_eval_forward_fn'):
+            def f(params, im):
+                return self.loss_and_stats(params, im, jax.random.PRNGKey(0),
+                                           training=False)
+            self._jit_eval_forward_fn = jax.jit(f)
+        return self._jit_eval_forward_fn
+
+    @property
+    def _jit_reconstruct(self):
+        if not hasattr(self, '_jit_reconstruct_fn'):
+            def f(params, im):
+                _, x_hat, _ = self.net.apply({'params': params}, im, False, False,
+                                             method=self.net.forward,
+                                             rngs={'noise': jax.random.PRNGKey(0)})
+                return jnp.clip(x_hat, -1.0, 1.0) * 0.5 + 0.5
+            self._jit_reconstruct_fn = jax.jit(f)
+        return self._jit_reconstruct_fn
+
+    # ------------------------------------------------------------- sampling
+    def uncond_sample(self, nhw_repeat, temprature=1.0, seed=0):
+        """Generate images (reference: qresvae/model.py:577-588)."""
+        rng = jax.random.PRNGKey(seed)
+        feature = self.net.apply({'params': self.params}, tuple(nhw_repeat),
+                                 temprature, method=self.net.forward_uncond,
+                                 rngs={'sample': rng})
+        x = self._apply_out_sample(feature, rng, temprature)
+        return np.asarray(jnp.clip(x, -1, 1) * 0.5 + 0.5)
+
+    def cond_sample(self, latents, nhw_repeat=None, temprature=1.0,
+                    paint_masks=None, seed=0):
+        rng = jax.random.PRNGKey(seed)
+        feature = self.net.apply({'params': self.params}, list(latents),
+                                 nhw_repeat, temprature, paint_masks,
+                                 method=self.net.forward_with_latents,
+                                 rngs={'sample': rng})
+        x = self._apply_out_sample(feature, rng, temprature)
+        return np.asarray(jnp.clip(x, -1, 1) * 0.5 + 0.5)
+
+    def _apply_out_sample(self, feature, rng, temprature):
+        if self.lossless:
+            return self.net.apply({'params': self.params}, feature, rng,
+                                  temprature, method=self.net.sample_output)
+        return self.net.apply({'params': self.params}, feature, None,
+                              method=self.net.sample_output)
+
+    def forward_get_latents(self, im):
+        """Return per-block z and kl (reference: qresvae/model.py:605-611)."""
+        im = to_nhwc_batch(im)
+        _, _, stats_all = self.net.apply(
+            {'params': self.params}, im, False, True, method=self.net.forward,
+            rngs={'noise': jax.random.PRNGKey(0)})
+        return [{k: np.asarray(v) for k, v in st.items()} for st in stats_all]
+
+    def inpaint(self, im, paint_box, steps=1, temprature=1.0, seed=0):
+        """Iterative inpainting (reference: qresvae/model.py:613-638).
+        paint_box: (x1, y1, x2, y2) fractions in [0,1]."""
+        im = to_nhwc_batch(im)
+        nB, imH, imW, _ = im.shape
+        x1, y1, x2, y2 = paint_box
+        hs = slice(round(y1 * imH), round(y2 * imH))
+        ws = slice(round(x1 * imW), round(x2 * imW))
+        im_input = np.array(im)
+        im_sample = None
+        for i in range(steps):
+            stats_all = self.forward_get_latents(im_input)
+            latents = [st['z'] for st in stats_all]
+            masks = []
+            for z in latents:
+                zH, zW = z.shape[1], z.shape[2]
+                m = np.zeros((1, zH, zW, 1), np.float32)
+                if min(zH, zW) > 1:
+                    m[:, round(y1 * zH):round(y2 * zH),
+                      round(x1 * zW):round(x2 * zW)] = 1.0
+                masks.append(jnp.asarray(m))
+            im_sample = self.cond_sample(latents, temprature=temprature,
+                                         paint_masks=masks, seed=seed + i)
+            im_sample = np.clip(im_sample, 0, 1)
+            im_input = np.array(im)
+            im_input[:, hs, ws, :] = im_sample[:, hs, ws, :]
+        return im_sample
+
+    # ---------------------------------------------------------- compression
+    def compress_mode(self, mode=True):
+        """Build CDF tables (reference: qresvae/model.py:640-647)."""
+        if mode:
+            self._block_coder.update()
+            if self._head_coder is not None:
+                self._head_coder.update()
+            self._build_stage_fns()
+        self.compressing = mode
+
+    def _build_stage_fns(self):
+        if hasattr(self, '_stage_fns'):
+            return
+        net = self.net
+
+        def prior(params, feature, k):
+            return net.apply({'params': params}, feature, k,
+                             method=net.dec_prior_stage)
+
+        def post_sym(params, feature, enc_f, pm, k):
+            return net.apply({'params': params}, feature, enc_f, pm, k,
+                             method=net.dec_posterior_symbols)
+
+        def fuse(params, feature, pm, symbols, k):
+            return net.apply({'params': params}, feature, pm, symbols, k,
+                             method=net.dec_fuse_stage)
+
+        def plain(params, feature, k):
+            return net.apply({'params': params}, feature, k,
+                             method=net.dec_plain_block)
+
+        def backbone(params, im):
+            x = (im + net.im_shift) * net.im_scale
+            return net.apply({'params': params}, x, method=net.encode)
+
+        self._stage_fns = {
+            'prior': jax.jit(prior, static_argnums=2),
+            'post_sym': jax.jit(post_sym, static_argnums=4),
+            'fuse': jax.jit(fuse, static_argnums=4),
+            'plain': jax.jit(plain, static_argnums=2),
+            'backbone': jax.jit(backbone),
+        }
+
+    def compress(self, im):
+        """Compress a batch -> [strings_1, ..., strings_N, smallest_shape]
+        (+ lossless head strings), matching the reference container layout
+        (reference: qresvae/model.py:649-668)."""
+        assert self.compressing, 'call compress_mode() first'
+        im = to_nhwc_batch(im)
+        self._check_input(im)
+        fns, params = self._stage_fns, self.params
+        enc_features = fns['backbone'](params, im)
+        min_res = min(enc_features.keys())
+        f0 = enc_features[min_res]
+        nB = f0.shape[0]
+        feature = jnp.broadcast_to(
+            self.params['bias'], (nB, f0.shape[1], f0.shape[2],
+                                  self.params['bias'].shape[-1]))
+        per_block = []  # (symbols, indexes) device arrays
+        for k, block in enumerate(self.net.dec_blocks):
+            if getattr(block, 'is_latent_block', False):
+                feature_mid, pm, pv, indexes = fns['prior'](params, feature, k)
+                res = int(feature_mid.shape[1])
+                symbols = fns['post_sym'](params, feature_mid,
+                                          enc_features[res], pm, k)
+                feature = fns['fuse'](params, feature_mid, pm, symbols, k)
+                per_block.append((symbols, indexes))
+            else:
+                feature = fns['plain'](params, feature, k)
+        # single host pull of all symbol/index tensors, then rANS stage
+        per_block_np = jax.device_get(per_block)
+        compressed = []
+        for symbols, indexes in per_block_np:
+            strs_batch = [self._block_coder.compress_symbols(
+                symbols[b], indexes[b]) for b in range(nB)]
+            compressed.append(strs_batch)
+        compressed.append(tuple(int(v) for v in f0.shape))
+        if self.lossless:
+            x_tgt = (im - 0.5) * 2.0
+            pm, plogv, x = self.net.apply({'params': params}, feature, x_tgt,
+                                          method=self.net.out_codec_tensors)
+            pm, plogv, x = jax.device_get((pm, plogv, x))
+            head_idx = cdf_ops.build_indexes_np(np.exp(plogv),
+                                                self._head_coder.scale_table)
+            syms = np.round(x - pm).astype(np.int32)
+            strs = [self._head_coder.compress_symbols(syms[b], head_idx[b])
+                    for b in range(nB)]
+            compressed.append(strs)
+        return compressed
+
+    def decompress(self, compressed_object):
+        """Inverse of compress (reference: qresvae/model.py:670-687)."""
+        assert self.compressing, 'call compress_mode() first'
+        fns, params = self._stage_fns, self.params
+        if self.lossless:
+            head_strings = compressed_object[-1]
+            compressed_object = compressed_object[:-1]
+        smallest_shape = compressed_object[-1]
+        nB, fH, fW, _ = smallest_shape
+        feature = jnp.broadcast_to(
+            params['bias'], (nB, fH, fW, params['bias'].shape[-1]))
+        str_i = 0
+        for k, block in enumerate(self.net.dec_blocks):
+            if getattr(block, 'is_latent_block', False):
+                feature_mid, pm, pv, indexes = fns['prior'](params, feature, k)
+                idx_np = np.asarray(indexes)
+                strs_batch = compressed_object[str_i]
+                str_i += 1
+                syms = np.stack([
+                    self._block_coder.decompress_symbols(strs_batch[b], idx_np[b])
+                    .reshape(idx_np[b].shape) for b in range(nB)])
+                feature = fns['fuse'](params, feature_mid, pm,
+                                      jnp.asarray(syms), k)
+            else:
+                feature = fns['plain'](params, feature, k)
+        assert str_i == len(compressed_object) - 1
+        if self.lossless:
+            pm, plogv = jax.device_get(self.net.apply(
+                {'params': params}, feature, method=self.net.out_codec_tensors))
+            head_idx = cdf_ops.build_indexes_np(np.exp(plogv),
+                                                self._head_coder.scale_table)
+            xs = np.stack([
+                self._head_coder.decompress_symbols(head_strings[b], head_idx[b])
+                .reshape(head_idx[b].shape) for b in range(nB)])
+            x_hat = (xs + pm) * self.net.out_net.bin_size
+        else:
+            x_hat = self.net.apply({'params': params}, feature,
+                                   method=self.net.out_mean)
+        im_hat = np.clip(np.asarray(x_hat, np.float32), -1, 1) * 0.5 + 0.5
+        return im_hat
+
+    def compress_file(self, img_path, output_path):
+        """Compress an image file (pickle container + original h/w,
+        reference: qresvae/model.py:689-707)."""
+        img = Image.open(img_path).convert('RGB')
+        img_padded = coding.pad_divisible_by(img, div=self.net.max_stride)
+        im = image_to_batch(img_padded)
+        compressed_obj = self.compress(im)
+        compressed_obj.append((img.height, img.width))
+        with open(output_path, 'wb') as f:
+            pickle.dump(compressed_obj, file=f)
+
+    def decompress_file(self, bits_path):
+        with open(bits_path, 'rb') as f:
+            compressed_obj = pickle.load(file=f)
+        img_h, img_w = compressed_obj.pop()
+        im_hat = self.decompress(compressed_obj)
+        return im_hat[:, :img_h, :img_w, :]
