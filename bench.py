@@ -1,0 +1,69 @@
+"""Headline benchmark: qarv_base encode+decode latency on one TPU chip.
+
+Measures the full codec path (device forward + host rANS entropy coding)
+on a synthetic 512x768 image — the Kodak-size latency benchmark from the
+reference (README.md:49-56; scripts/speedtest-lvae.py). Baseline to beat:
+RTX 3080 Ti encode 0.096 s + decode 0.063 s = 159 ms (BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": "qarv_base_encdec_latency", "value": <ms>, "unit": "ms",
+   "vs_baseline": <baseline_ms / ours_ms>}  (vs_baseline > 1 means faster)
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+BASELINE_MS = 159.0  # RTX 3080 Ti enc+dec, reference README.md:49-56
+
+
+def main():
+    import jax
+    import lvae_tpu
+
+    model = lvae_tpu.get_model('qarv_base')
+    model.compress_mode()
+
+    rng = np.random.default_rng(0)
+    H, W = 512, 768
+    im = rng.uniform(0.0, 1.0, (1, H, W, 3)).astype(np.float32)
+    im = np.round(im * 255) / 255
+
+    lmb = 512.0
+
+    # warmup: compile all stage programs (first call is slow)
+    for _ in range(2):
+        bits = model.compress(im, lmb=lmb)
+        _ = model.decompress(bits)
+
+    n_iter = 5
+    enc_times, dec_times = [], []
+    for _ in range(n_iter):
+        t0 = time.perf_counter()
+        bits = model.compress(im, lmb=lmb)
+        t1 = time.perf_counter()
+        im_hat = model.decompress(bits)
+        t2 = time.perf_counter()
+        enc_times.append(t1 - t0)
+        dec_times.append(t2 - t1)
+
+    enc_ms = float(np.mean(enc_times) * 1e3)
+    dec_ms = float(np.mean(dec_times) * 1e3)
+    total_ms = enc_ms + dec_ms
+    bpp = len(bits) * 8 / (H * W)
+
+    print(json.dumps({
+        'metric': 'qarv_base_encdec_latency',
+        'value': round(total_ms, 3),
+        'unit': 'ms',
+        'vs_baseline': round(BASELINE_MS / total_ms, 3),
+        'detail': {'encode_ms': round(enc_ms, 3), 'decode_ms': round(dec_ms, 3),
+                   'bpp_random_image': round(bpp, 4),
+                   'device': str(jax.devices()[0])},
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,66 @@
+"""Variable-rate evaluation CLI (reference: eval-var-rate.py:13-69).
+
+One model, lambdas log-spaced over its range, true-coding evaluation,
+json dump with platform info.
+"""
+import argparse
+import json
+import math
+import platform
+from collections import defaultdict, OrderedDict
+from pathlib import Path
+
+import numpy as np
+
+from lvae_tpu.registry import get_model
+from lvae_tpu.evaluation import imcoding_evaluate
+from lvae_tpu.training.trainer import parse_model_args
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('-m', '--model',        type=str, default='qarv_base')
+    parser.add_argument('-a', '--model_args',   type=str, default='')
+    parser.add_argument('-w', '--weights',      type=str, default=None)
+    parser.add_argument('-l', '--lmb_range',    type=float, default=[16, 2048], nargs='+')
+    parser.add_argument('-s', '--steps',        type=int, default=16)
+    parser.add_argument('-n', '--dataset_name', type=str, default='kodak')
+    args = parser.parse_args()
+
+    kwargs = parse_model_args(args.model_args)
+    if args.weights:
+        kwargs['pretrained'] = args.weights
+    model = get_model(args.model, **kwargs)
+    model.compress_mode()
+
+    start, end = args.lmb_range
+    lambdas = np.exp(np.linspace(math.log(start), math.log(end), args.steps)).tolist()
+
+    save_json_path = Path(f'runs/results/{args.dataset_name}-{args.model}.json')
+    save_json_path.parent.mkdir(parents=True, exist_ok=True)
+
+    all_lmb_stats = defaultdict(list)
+    for lmb in lambdas:
+        model.default_lmb = lmb
+        results = imcoding_evaluate(model, args.dataset_name)
+        print(f'lmb={lmb:.2f}: {results}')
+        for k, v in results.items():
+            all_lmb_stats[k].append(v)
+
+    import jax
+    json_data = OrderedDict()
+    json_data['name'] = args.model
+    json_data['test-set'] = args.dataset_name
+    json_data['platform'] = platform.platform()
+    json_data['device'] = str(jax.devices()[0])
+    json_data['lambdas'] = lambdas
+    json_data['results'] = all_lmb_stats
+    with open(save_json_path, 'w') as f:
+        json.dump(json_data, fp=f, indent=4)
+    print(f'\nSaved results to {save_json_path}\n')
+    for k, vlist in all_lmb_stats.items():
+        print(f'{k:<6s} = [' + ', '.join(f'{v:.12f}'[:7] for v in vlist) + ']')
+
+
+if __name__ == '__main__':
+    main()

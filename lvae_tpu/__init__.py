@@ -20,5 +20,6 @@ import lvae_tpu.models.qresvae.zoo  # noqa: F401
 import lvae_tpu.models.qarv.zoo  # noqa: F401
 import lvae_tpu.models.rd.zoo  # noqa: F401
 import lvae_tpu.models.rd.zoo_ablation  # noqa: F401
+import lvae_tpu.models.dev_zoo  # noqa: F401
 
 __version__ = '0.1.0'

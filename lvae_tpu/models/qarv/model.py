@@ -394,6 +394,18 @@ class QarvModel(VAEModelBase):
         return self.conditional_sample(lmb, [None] * self.num_latents,
                                        bhw_repeat=bhw_repeat, t=t, seed=seed)
 
+    def forward_get_latents(self, im, lmb=None):
+        """Per-block z and kl (progressive-decoding studies,
+        reference: scripts/qarv/robust-decoding.py:43-60)."""
+        im = to_nhwc_batch(im)
+        lmb = self.default_lmb if lmb is None else lmb
+        lmb_arr = self._expand_lmb(lmb, im.shape[0])
+        _, stats_all = self.net.apply(
+            {'params': self.params}, im, lmb_arr, False, True,
+            method=self.net.forward_end2end,
+            rngs={'noise': jax.random.PRNGKey(0)})
+        return [{k: np.asarray(v) for k, v in st.items()} for st in stats_all]
+
     def study(self, save_dir, **kwargs):
         """Sample/reconstruction grids for logging
         (reference: qarv/model.py:406-425)."""

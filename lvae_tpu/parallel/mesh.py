@@ -1,0 +1,69 @@
+"""Device mesh + sharding helpers (the DP layer).
+
+TPU-native replacement for the reference's DDP/NCCL plumbing
+(reference: lvae/trainer.py:101-123, SURVEY.md §2.3): a 1-D `data` mesh over
+all chips; parameters replicated, batches sharded over 'data'. XLA inserts
+the gradient all-reduce over ICI/DCN automatically when the jitted train
+step is compiled with these shardings.
+"""
+import os
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ['init_distributed', 'get_data_mesh', 'shard_batch', 'replicate',
+           'data_sharding', 'replicated_sharding', 'process_count',
+           'process_index', 'local_batch_slice']
+
+
+def init_distributed():
+    """Initialize multi-host jax if a coordinator is configured.
+
+    Single-host runs need nothing; multi-host launchers set the standard
+    JAX coordination env vars. This replaces torchrun + init_process_group
+    (reference: trainer.py:110-121)."""
+    if int(os.environ.get('JAX_PROCESS_COUNT', '1')) > 1 or \
+            'JAX_COORDINATOR_ADDRESS' in os.environ:
+        jax.distributed.initialize()
+
+
+def process_count():
+    return jax.process_count()
+
+
+def process_index():
+    return jax.process_index()
+
+
+def get_data_mesh(axis_name='data', devices=None):
+    """1-D mesh over all (or given) devices."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    return Mesh(devices, (axis_name,))
+
+
+def data_sharding(mesh, axis_name='data'):
+    """Batch sharding: leading axis split over the mesh."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated_sharding(mesh):
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh, axis_name='data'):
+    """Place a host numpy batch onto the mesh, sharded over its first axis."""
+    return jax.device_put(batch, data_sharding(mesh, axis_name))
+
+
+def replicate(tree, mesh):
+    """Replicate a pytree (params/opt state) across the mesh."""
+    sharding = replicated_sharding(mesh)
+    return jax.device_put(tree, sharding)
+
+
+def local_batch_slice(global_batch_size):
+    """This host's share of the global batch."""
+    n = jax.process_count()
+    assert global_batch_size % n == 0
+    return global_batch_size // n

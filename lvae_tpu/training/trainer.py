@@ -1,0 +1,376 @@
+"""Training runtime (L6): data-parallel trainer on a jax device mesh.
+
+TPU-native re-design of reference lvae/trainer.py (BaseTrainingWrapper).
+The public surface is the same — `TrainWrapper(cfg).main()` with subclass
+hooks `set_dataset()` and `eval_model()`/`evaluate()` — but the internals
+are jax-first:
+
+  * DP via a 1-D `data` mesh: params/opt-state replicated, batch sharded
+    over 'data'; XLA inserts gradient all-reduce over ICI/DCN
+    (replaces DDP + NCCL, reference trainer.py:64, 110-123)
+  * one compiled train step for the whole run: LR schedule, EMA decay and
+    grad-norm moving median enter as scalar inputs
+  * checkpoints: last/best/last_ema (+ failed on NaN), orbax-backed
+  * NaN/inf loss abort with state dump (reference: trainer.py:380-382)
+  * gradient-spike LR cut via moving-median buffer (reference: :394-406)
+  * optional Weights & Biases logging when the package is present
+"""
+import json
+import logging
+import math
+import os
+import time
+from collections import defaultdict
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import lvae_tpu.utils as utils
+from lvae_tpu import parallel
+from lvae_tpu.datasets import make_trainloader
+from lvae_tpu.registry import get_model
+from lvae_tpu.training import checkpoint as ckpt
+from lvae_tpu.training.optim import create_train_state, make_train_step
+from lvae_tpu.training.schedules import lr_factor
+
+
+def parse_model_args(s: str) -> dict:
+    """Parse 'lmb=2048,foo=True' safely (replaces the reference's eval at
+    trainer.py:163)."""
+    from lvae_tpu.datasets.image import parse_transform_cfg
+    return parse_transform_cfg(s)
+
+
+class BaseTrainingWrapper:
+    grad_norm_interval = 100
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self._cur_iter = 0
+        self._cur_epoch = 0.0
+        self._best_loss = math.inf
+        self._moving_grad_norm_buffer = utils.MaxLengthList(
+            max_len=self.grad_norm_interval)
+        self.wandb_log_keys = set()
+        header = ['Epoch', 'Iter', 'Mem', 'lr', 'grad']
+        self.stats_table = utils.SimpleTable(header)
+
+        parallel.init_distributed()
+        self.world_size = jax.process_count()
+        self.local_rank = jax.process_index()
+        self.distributed = self.world_size > 1
+        self.is_main = self.local_rank == 0
+
+    # ------------------------------------------------------------------ setup
+    def main(self):
+        self.set_logging()
+        self.set_device()
+        self.prepare_configs()
+        self.set_dataset()
+        self.set_model()
+        self.set_optimizer()
+        self.set_pretrain()
+        if self.is_main:
+            self.set_wandb()
+        self.training_loops()
+
+    def set_logging(self):
+        cfg = self.cfg
+        if self.is_main:
+            handler = utils.my_stream_handler()
+            logging.basicConfig(handlers=[handler], level=logging.INFO, force=True)
+        else:
+            fmt = f'[%(asctime)s RANK={self.local_rank}] [%(levelname)s] %(message)s'
+            logging.basicConfig(format=fmt, level=logging.WARNING, force=True)
+
+        log_parent = Path(f'runs/{cfg.wbproject}').resolve()
+        if cfg.resume is not None:
+            log_dir = log_parent / str(cfg.resume)
+            assert log_dir.is_dir(), f'Cannot resume: {log_dir} does not exist'
+        elif self.is_main:
+            run_name = cfg.name or utils.increment_dir(log_parent, name=cfg.model)
+            log_dir = log_parent / str(run_name)
+            os.makedirs(log_dir, exist_ok=False)
+            utils.json_dump(vars(cfg), fpath=log_dir / 'config.json')
+        else:
+            log_dir = log_parent / 'worker'
+        logging.info(f'Logging run at {log_dir}')
+        self.cfg.log_dir = str(log_dir)
+        self._log_dir = log_dir
+
+    def set_device(self):
+        self.mesh = parallel.get_data_mesh()
+        n = len(jax.devices())
+        logging.info(f'Data-parallel mesh over {n} devices '
+                     f'({jax.process_count()} hosts): {self.mesh}')
+
+    def prepare_configs(self):
+        cfg = self.cfg
+        n_dev = len(jax.devices())
+        assert cfg.batch_size % n_dev == 0, \
+            f'batch_size {cfg.batch_size} must divide over {n_dev} devices ' \
+            '(cfg.batch_size is the per-host batch)'
+        bs_effective = cfg.batch_size * self.world_size * cfg.accum_num
+        logging.info(f'Batch size per host = {cfg.batch_size}; '
+                     f'effective = {bs_effective}; lr = {cfg.lr}; '
+                     f'wdecay = {cfg.wdecay}')
+        cfg.bs_effective = bs_effective
+        cfg.world_size = self.world_size
+        self._log_ema_weight = 5.0 / (cfg.wandb_log_interval + 8.0)
+
+    def set_dataset(self):
+        raise NotImplementedError()
+
+    def make_training_loader(self, dataset):
+        cfg = self.cfg
+        trainloader, sampler = make_trainloader(
+            dataset, batch_size=cfg.batch_size, workers=cfg.workers,
+            num_shards=self.world_size, shard_id=self.local_rank,
+            seed=2 if cfg.fixseed else int(time.time()))
+        self._epoch_len = len(dataset) / cfg.bs_effective
+        self.trainloader = trainloader
+        self.trainsampler = sampler
+        self.cfg.epochs = float(cfg.iterations / self._epoch_len)
+
+    def set_model(self):
+        cfg = self.cfg
+        kwargs = parse_model_args(cfg.model_args)
+        model = get_model(cfg.model, **kwargs)
+        cfg.num_param = model.num_params()
+        logging.info(f'Model {cfg.model}, args={kwargs}, '
+                     f'{cfg.num_param / 1e6:.2f}M params')
+        if self.is_main:
+            utils.print_to_file(str(model.net), fpath=self._log_dir / 'model.txt')
+        self.model = model
+
+    def set_optimizer(self):
+        cfg = self.cfg
+        state, tx = create_train_state(self.model.params,
+                                       optimizer=cfg.optimizer, ema=cfg.ema)
+        self._tx = tx
+        self.state = parallel.replicate(state, self.mesh)
+
+        def loss_fn(params, batch, rng):
+            return self.model.loss_and_stats(params, batch, rng, training=True)
+
+        step_fn = make_train_step(loss_fn, tx, accum_num=cfg.accum_num,
+                                  grad_clip=cfg.grad_clip, wdecay=cfg.wdecay,
+                                  use_ema=cfg.ema)
+        repl = parallel.replicated_sharding(self.mesh)
+        data = parallel.data_sharding(self.mesh)
+        self._train_step = jax.jit(
+            step_fn,
+            in_shardings=(repl, data, repl, repl, repl, repl),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,))
+
+    def set_pretrain(self):
+        cfg = self.cfg
+        if cfg.resume is not None:
+            assert not cfg.weights, '--resume is incompatible with --weights'
+            path = self._log_dir / 'last'
+            template = {'state': jax.device_get(self.state),
+                        'iter': 0, 'epoch': 0.0, 'best_loss': float('inf')}
+            restored = ckpt.load_checkpoint(path, template)
+            self.state = parallel.replicate(restored['state'], self.mesh)
+            self._cur_iter = int(restored['iter'])
+            self._cur_epoch = float(restored['epoch'])
+            self._best_loss = float(restored['best_loss'])
+            logging.info(f'Resumed from {path} at iter {self._cur_iter}')
+        elif cfg.weights is not None:
+            self.model.load_weights(cfg.weights)
+            host_state = jax.device_get(self.state)
+            host_state = host_state.replace(
+                params=self.model.params,
+                ema_params=self.model.params if cfg.ema else None)
+            self.state = parallel.replicate(host_state, self.mesh)
+            logging.info(f'Initialized weights from {cfg.weights}')
+        else:
+            logging.info('Training from scratch (no pretrained weights).')
+
+    def set_wandb(self):
+        cfg = self.cfg
+        self.wbrun = None
+        if getattr(cfg, 'wbmode', 'disabled') == 'disabled':
+            return
+        try:
+            import wandb
+        except ImportError:
+            logging.warning('wandb not installed; logging disabled')
+            return
+        wbid_path = self._log_dir / 'wandb_id.txt'
+        rid = None
+        if wbid_path.is_file():
+            rid = utils.read_file(wbid_path).strip().split('\n')[-1]
+        run_name = self._log_dir.stem
+        if cfg.wbnote:
+            run_name = f'{run_name}: {cfg.wbnote}'
+        self.wbrun = wandb.init(
+            project=cfg.wbproject, entity=cfg.wbentity, group=cfg.wbgroup,
+            name=run_name, tags=cfg.wbtags, config=vars(cfg), dir='runs/',
+            id=rid, resume='allow', mode=cfg.wbmode)
+        utils.print_to_file(self.wbrun.id, fpath=wbid_path, mode='a')
+
+    # ------------------------------------------------------------- main loop
+    def training_loops(self):
+        cfg = self.cfg
+        pbar = range(self._cur_iter, cfg.iterations)
+        if self.is_main:
+            try:
+                from tqdm import tqdm
+                pbar = tqdm(pbar)
+            except ImportError:
+                pass
+            self.init_progress_table()
+
+        rng = jax.random.PRNGKey(2 + self.local_rank if cfg.fixseed
+                                 else int(time.time()))
+        lr_now = cfg.lr * lr_factor(self._cur_iter, cfg.iterations,
+                                    cfg.lr_sched, cfg.lr_warmup, cfg.lrf_min)
+        for step in pbar:
+            self._cur_iter = step
+            self._cur_epoch = step / self._epoch_len
+
+            if self.is_main and cfg.model_val_interval > 0 \
+                    and step % cfg.model_val_interval == 0 \
+                    and (step > 0 or cfg.eval_first):
+                self.evaluate()
+
+            if step % 10 == 0:
+                lr_now = cfg.lr * lr_factor(step, cfg.iterations, cfg.lr_sched,
+                                            cfg.lr_warmup, cfg.lrf_min)
+
+            batch = next(self.trainloader)
+            batch = parallel.shard_batch(batch, self.mesh)
+            rng, step_rng = jax.random.split(rng)
+            median = self._moving_grad_norm_buffer.median() or 1e9
+            warmup = cfg.ema_warmup or max(cfg.iterations // 20, 1)
+            ema_decay = cfg.ema_decay * (1 - math.exp(-max(step, 1) / warmup))
+            self.state, metrics = self._train_step(
+                self.state, batch, step_rng,
+                jnp.float32(lr_now), jnp.float32(median),
+                jnp.float32(ema_decay))
+
+            # host-side bookkeeping (pulls scalars; async until here)
+            metrics = {k: float(v) for k, v in metrics.items()}
+            self._moving_grad_norm_buffer.add(metrics['grad_norm'])
+            if not math.isfinite(metrics['loss']):
+                logging.error(f'loss = {metrics["loss"]} at step {step}')
+                self.clean_and_exit()
+
+            if self.is_main:
+                self.minibatch_log(pbar, metrics, lr_now)
+                self.periodic_log(batch)
+
+        self._cur_iter += 1
+        if self.is_main:
+            self.evaluate()
+            logging.info(f'Training finished. results: {self._results}')
+
+    # ------------------------------------------------------------- logging
+    def init_progress_table(self):
+        for k in self.stats_table.keys():
+            self.stats_table[k] = 0.0
+        self._pbar_header = self.stats_table.get_header(border=True)
+        print(self._pbar_header)
+
+    def minibatch_log(self, pbar, metrics, lr_now):
+        cfg = self.cfg
+        self.stats_table['Epoch'] = f'{self._cur_epoch:.1f}/{cfg.epochs:.1f}'
+        n = len(str(cfg.iterations))
+        self.stats_table['Iter'] = f'{self._cur_iter:>{n}}/{cfg.iterations - 1}'
+        try:
+            mem = jax.local_devices()[0].memory_stats().get('bytes_in_use', 0) / 1e9
+        except Exception:
+            mem = 0.0
+        self.stats_table['Mem'] = f'{mem:.3g}G'
+        self.stats_table['lr'] = lr_now
+        self.stats_table['grad'] = self._moving_grad_norm_buffer.current()
+        for k, v in metrics.items():
+            if k == 'grad_norm':
+                continue
+            prev = self.stats_table.get(k, 0.0)
+            new = v if prev == 0.0 else \
+                (1 - self._log_ema_weight) * prev + self._log_ema_weight * v
+            self.stats_table[k] = new
+            self.wandb_log_keys.add(k)
+        header, body = self.stats_table.update(border=True)
+        if len(header) != len(self._pbar_header):
+            print(header)
+            self._pbar_header = header
+        if hasattr(pbar, 'set_description'):
+            pbar.set_description(body)
+
+    def periodic_log(self, batch):
+        cfg = self.cfg
+        if self._cur_iter % cfg.model_log_interval == 0 and \
+                hasattr(self.model, 'study'):
+            self._sync_model_params()
+            self.model.study(save_dir=self._log_dir)
+        if self.wbrun is not None and self._cur_iter % cfg.wandb_log_interval == 0:
+            log = {'general/lr': self.stats_table['lr'],
+                   'general/grad_norm': self._moving_grad_norm_buffer.max()}
+            log.update({'train/' + k: self.stats_table[k]
+                        for k in self.wandb_log_keys})
+            self.wbrun.log(log, step=self._cur_iter)
+
+    # ------------------------------------------------------------- evaluation
+    def _sync_model_params(self, ema=False):
+        state = jax.device_get(self.state)
+        self.model.params = state.ema_params if (ema and state.ema_params
+                                                 is not None) else state.params
+
+    def eval_model(self, model) -> dict:
+        raise NotImplementedError
+
+    def evaluate(self):
+        assert self.is_main
+        cfg = self.cfg
+        self._sync_model_params(ema=False)
+        results = self.eval_model(self.model)
+        logging.info(f'Validation (no EMA): {results}')
+        utils.print_dict_as_table(results)
+        self._save_checkpoints(results, ema=False)
+
+        if cfg.ema:
+            self._sync_model_params(ema=True)
+            results_ema = self.eval_model(self.model)
+            logging.info(f'Validation (EMA): {results_ema}')
+            utils.print_dict_as_table(results_ema)
+            self._save_checkpoints(results_ema, ema=True)
+            results = results_ema
+            self._sync_model_params(ema=False)
+
+        if self.wbrun is not None:
+            self.wbrun.log({'val-metrics/' + k: v for k, v in results.items()
+                            if isinstance(v, (int, float))},
+                           step=self._cur_iter)
+        with open(self._log_dir / 'results.txt', 'a') as f:
+            f.write(self.stats_table.get_body() + f' || {results.get("loss", 0):.6g}\n')
+        self._results = results
+
+    def _save_checkpoints(self, results, ema=False):
+        payload = {'state': jax.device_get(self.state),
+                   'iter': self._cur_iter, 'epoch': self._cur_epoch,
+                   'best_loss': min(self._best_loss,
+                                    results.get('loss', math.inf))}
+        name = 'last_ema' if ema else 'last'
+        ckpt.save_checkpoint(self._log_dir / name, payload)
+        cur_loss = results.get('loss', math.inf)
+        if cur_loss < self._best_loss:
+            self._best_loss = cur_loss
+            ckpt.save_checkpoint(
+                self._log_dir / ('best_ema' if ema else 'best'), payload)
+            logging.info(f'New best loss = {cur_loss}')
+
+    def clean_and_exit(self):
+        logging.error(f'Terminating host {self.local_rank} ...')
+        if self.is_main:
+            try:
+                ckpt.save_checkpoint(self._log_dir / 'failed',
+                                     {'state': jax.device_get(self.state)})
+            except Exception as e:
+                logging.error(f'failed.ckpt dump error: {e}')
+        raise SystemExit(f'Host {self.local_rank} terminated on NaN/inf loss.')

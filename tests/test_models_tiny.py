@@ -1,0 +1,184 @@
+"""End-to-end tests on tiny models: forward, coding round-trips, sampling.
+
+These mirror the reference's oracles (SURVEY.md §4): real-bitstream
+round-trips, bit-exact lossless reconstruction, and forward/coding
+consistency.
+"""
+import os
+import numpy as np
+import pytest
+
+import lvae_tpu
+from lvae_tpu.utils import coding
+
+
+@pytest.fixture(scope='module')
+def image(rng_np=None):
+    rng = np.random.default_rng(7)
+    # smooth-ish random image so rates are moderate
+    from scipy.ndimage import gaussian_filter
+    im = gaussian_filter(rng.uniform(0, 1, (128, 128, 3)), sigma=(3, 3, 0))
+    im = (im - im.min()) / (im.max() - im.min() + 1e-9)
+    im = np.round(im * 255) / 255  # pixel grid like a real PNG
+    return im.astype(np.float32)[None]
+
+
+@pytest.fixture(scope='module')
+def qres_model():
+    return lvae_tpu.get_model('qres_tiny', lmb=128)
+
+
+def test_qres_forward_stats(qres_model, image):
+    stats = qres_model.forward(image)
+    for k in ['loss', 'kl', 'mse', 'bppix', 'psnr']:
+        assert k in stats and np.isfinite(stats[k])
+
+
+def test_qres_roundtrip_and_determinism(qres_model, image):
+    m = qres_model
+    m.compress_mode()
+    obj = m.compress(image)
+    obj2 = m.compress(image)
+    for sa, sb in zip(obj[:-1], obj2[:-1]):
+        assert sa == sb
+    im_hat = m.decompress(obj)
+    assert im_hat.shape == image.shape
+    # decompressed reconstruction must match the eval-forward reconstruction
+    stats = m.forward(image)
+    mse = float(np.mean((im_hat - image) ** 2))
+    psnr = -10 * np.log10(mse)
+    assert abs(psnr - stats['psnr']) < 0.2
+
+
+def test_qres_file_roundtrip(tmp_path, qres_model, image):
+    from PIL import Image
+    m = qres_model
+    m.compress_mode()
+    # non-multiple-of-64 image exercises padding + crop-back
+    arr = (image[0, :100, :90] * 255).astype(np.uint8)
+    img_path = tmp_path / 'in.png'
+    Image.fromarray(arr).save(img_path)
+    bits_path = tmp_path / 'out.bits'
+    m.compress_file(img_path, bits_path)
+    assert bits_path.stat().st_size > 0
+    im_hat = m.decompress_file(bits_path)
+    assert im_hat.shape == (1, 100, 90, 3)
+
+
+def test_qres_uncond_and_cond_sampling(qres_model):
+    m = qres_model
+    ims = m.uncond_sample((2, 1, 1), temprature=0.8)
+    assert ims.shape == (2, 64, 64, 3)
+    assert (ims >= 0).all() and (ims <= 1).all()
+    # cond_sample from extracted latents reproduces the eval forward
+    rng = np.random.default_rng(3)
+    im = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    stats_all = m.forward_get_latents(im)
+    latents = [st['z'] for st in stats_all]
+    rec = m.cond_sample(latents)
+    assert rec.shape == im.shape
+
+
+def test_qres_inpaint(qres_model):
+    rng = np.random.default_rng(4)
+    im = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    out = qres_model.inpaint(im, paint_box=(0.25, 0.25, 0.75, 0.75), steps=2)
+    assert out.shape == im.shape
+
+
+def test_lossless_bit_exact_roundtrip(image):
+    """The reference's strongest oracle: lossless compression must
+    reconstruct the input bit-exactly
+    (reference: scripts/qresvae/evaluate-lossless.py:28-31)."""
+    m = lvae_tpu.get_model('qres_tiny_lossless')
+    m.compress_mode()
+    obj = m.compress(image)
+    im_hat = m.decompress(obj)
+    real = np.round(image * 255).astype(np.int32)
+    fake = np.round(np.asarray(im_hat) * 255).astype(np.int32)
+    assert np.array_equal(real, fake), \
+        f'lossless mismatch: {np.abs(real - fake).max()}'
+
+
+@pytest.fixture(scope='module')
+def qarv_model():
+    return lvae_tpu.get_model('qarv_tiny')
+
+
+def test_qarv_forward_multiple_lambdas(qarv_model, image):
+    s_low = qarv_model.forward(image, lmb=16)
+    s_high = qarv_model.forward(image, lmb=2048)
+    assert np.isfinite(s_low['loss']) and np.isfinite(s_high['loss'])
+
+
+def test_qarv_bitstream_roundtrip(qarv_model, image):
+    m = qarv_model
+    m.compress_mode()
+    for lmb in [16.0, 300.0, 2048.0]:
+        s = m.compress(image, lmb=lmb)
+        assert isinstance(s, bytes)
+        im_hat = m.decompress(s)
+        assert im_hat.shape == image.shape
+    # rate must increase with lambda
+    n_low = len(m.compress(image, lmb=16.0))
+    n_high = len(m.compress(image, lmb=2048.0))
+    assert n_high >= n_low
+
+
+def test_qarv_bitstream_header_layout(qarv_model, image):
+    import struct
+    m = qarv_model
+    m.compress_mode()
+    s = m.compress(image, lmb=333.0)
+    lmb = struct.unpack('f', s[:4])[0]
+    nB, nH, nW = struct.unpack('3H', s[4:10])
+    assert abs(lmb - 333.0) < 1e-4
+    assert (nB, nH, nW) == (1, 2, 2)  # 128/64
+    strings = coding.unpack_byte_string(s[10:])
+    assert len(strings) == m.num_latents
+
+
+def test_qarv_file_roundtrip(tmp_path, qarv_model, image):
+    from PIL import Image
+    m = qarv_model
+    m.compress_mode()
+    arr = (image[0, :100, :90] * 255).astype(np.uint8)
+    img_path = tmp_path / 'in.png'
+    Image.fromarray(arr).save(img_path)
+    bits = tmp_path / 'out.bits'
+    m.compress_file(img_path, bits, lmb=512)
+    im_hat = m.decompress_file(bits)
+    assert im_hat.shape == (1, 100, 90, 3)
+
+
+def test_qarv_self_evaluate(tmp_path, qarv_model, image):
+    from PIL import Image
+    d = tmp_path / 'imgs'
+    d.mkdir()
+    Image.fromarray((image[0] * 255).astype(np.uint8)).save(d / 'a.png')
+    res = qarv_model.self_evaluate(d, steps=2, log_dir=tmp_path)
+    assert len(res['bpp']) == 2 and len(res['psnr']) == 2
+    assert (tmp_path / 'all_lmb_channel_stats.txt').is_file()
+
+
+def test_qarv_sampling(qarv_model):
+    ims = qarv_model.unconditional_sample(512, bhw_repeat=(1, 1, 1))
+    assert ims.shape == (1, 64, 64, 3)
+
+
+def test_rd_forward_and_sampling(image):
+    m = lvae_tpu.get_model('rd_tiny')
+    stats = m.forward(image, lmb=64)
+    for k in ['loss', 'bppix', 'psnr']:
+        assert np.isfinite(stats[k])
+    ims = m.unconditional_sample(64, bhw_repeat=(1, 1, 1))
+    assert ims.shape == (1, 64, 64, 3)
+
+
+def test_registry_lists_reference_models():
+    from lvae_tpu.registry import list_models
+    names = list_models()
+    for required in ['qres34m', 'qres34m_lossless', 'qres17m', 'qarv_base',
+                     'rd_model_base', 'rd_ablation_c64_l5',
+                     'rd_ablation_base_nosmooth']:
+        assert required in names, f'missing registered model {required}'

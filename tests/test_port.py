@@ -1,0 +1,121 @@
+"""Weight-porting tests: every layout transform is verified numerically
+against torch, and full-model conversion is checked for coverage/shapes
+with a synthetic reference-style state dict."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from lvae_tpu.models import common, port
+
+
+def _np(x):
+    return x.detach().numpy()
+
+
+def test_conv_port_matches_torch(rng_np):
+    import torch
+    tconv = torch.nn.Conv2d(5, 7, 3, stride=1, padding=1)
+    x = rng_np.normal(size=(2, 5, 8, 8)).astype(np.float32)
+    want = _np(tconv(torch.from_numpy(x))).transpose(0, 2, 3, 1)
+    fconv = nn.Conv(7, (3, 3), padding=[(1, 1), (1, 1)])
+    params = {'kernel': jnp.asarray(port.t_conv(_np(tconv.weight))),
+              'bias': jnp.asarray(_np(tconv.bias))}
+    got = np.asarray(fconv.apply({'params': params},
+                                 jnp.asarray(x.transpose(0, 2, 3, 1))))
+    assert np.allclose(got, want, atol=1e-5)
+
+
+def test_depthwise_conv_port_matches_torch(rng_np):
+    import torch
+    C = 6
+    tconv = torch.nn.Conv2d(C, C, 7, padding=3, groups=C)
+    x = rng_np.normal(size=(1, C, 10, 10)).astype(np.float32)
+    want = _np(tconv(torch.from_numpy(x))).transpose(0, 2, 3, 1)
+    fconv = nn.Conv(C, (7, 7), padding=[(3, 3), (3, 3)], feature_group_count=C)
+    params = {'kernel': jnp.asarray(port.t_conv(_np(tconv.weight))),
+              'bias': jnp.asarray(_np(tconv.bias))}
+    got = np.asarray(fconv.apply({'params': params},
+                                 jnp.asarray(x.transpose(0, 2, 3, 1))))
+    assert np.allclose(got, want, atol=1e-5)
+
+
+def test_dense_port_matches_torch(rng_np):
+    import torch
+    tl = torch.nn.Linear(5, 9)
+    x = rng_np.normal(size=(4, 5)).astype(np.float32)
+    want = _np(tl(torch.from_numpy(x)))
+    fd = nn.Dense(9)
+    params = {'kernel': jnp.asarray(port.t_dense(_np(tl.weight))),
+              'bias': jnp.asarray(_np(tl.bias))}
+    got = np.asarray(fd.apply({'params': params}, jnp.asarray(x)))
+    assert np.allclose(got, want, atol=1e-5)
+
+
+def test_conv_transpose_port_matches_torch(rng_np):
+    import torch
+    # the reference's deconv: ConvTranspose2d(k=5, s=2, pad=2, output_pad=1)
+    tct = torch.nn.ConvTranspose2d(4, 6, 5, stride=2, padding=2,
+                                   output_padding=1)
+    x = rng_np.normal(size=(1, 4, 8, 8)).astype(np.float32)
+    want = _np(tct(torch.from_numpy(x))).transpose(0, 2, 3, 1)
+    fct = common.deconv(6, kernel_size=5, stride=2)
+    kernel = jnp.asarray(port.t_convT(_np(tct.weight)).copy())
+    params = {'conv': {'kernel': kernel, 'bias': jnp.asarray(_np(tct.bias))}}
+    got = np.asarray(fct.apply({'params': params},
+                               jnp.asarray(x.transpose(0, 2, 3, 1))))
+    assert got.shape == want.shape
+    assert np.allclose(got, want, atol=1e-5), \
+        f'max diff {np.abs(got - want).max()}'
+
+
+def test_patch_upsample_port_matches_torch(rng_np):
+    import torch
+    # reference patch_upsample = Sequential(Conv2d 1x1 -> out*r^2, PixelShuffle(r))
+    r, cin, cout = 2, 6, 3
+    tconv = torch.nn.Conv2d(cin, cout * r * r, 1)
+    tseq = torch.nn.Sequential(tconv, torch.nn.PixelShuffle(r))
+    x = rng_np.normal(size=(1, cin, 4, 4)).astype(np.float32)
+    want = _np(tseq(torch.from_numpy(x))).transpose(0, 2, 3, 1)
+    fup = common.patch_upsample(cout, rate=r)
+    params = {'conv': {'kernel': jnp.asarray(port.t_conv(_np(tconv.weight))),
+                       'bias': jnp.asarray(_np(tconv.bias))}}
+    got = np.asarray(fup.apply({'params': params},
+                               jnp.asarray(x.transpose(0, 2, 3, 1))))
+    assert np.allclose(got, want, atol=1e-5)
+
+
+def _synthetic_torch_sd(model, rng):
+    """Random torch-side state dict with reference naming/shapes derived by
+    inverting the porting rules."""
+    inv_shape = {
+        port.t_conv: lambda s: (s[3], s[2], s[0], s[1]),
+        port.t_convT: lambda s: (s[2], s[3], s[0], s[1]),
+        port.t_dense: lambda s: (s[1], s[0]),
+        port.t_flat: lambda s: (1, s[0], 1, 1),
+        port.t_raw: lambda s: s,
+        port.t_bias_nhwc: lambda s: (1, s[3], 1, 1),
+    }
+    flat = {tuple(str(getattr(k, 'key', k)) for k in p): l.shape
+            for p, l in jax.tree_util.tree_leaves_with_path(model.params)}
+    sd = {}
+    for path, tk, fn in port.build_key_map(model):
+        shape = inv_shape[fn](tuple(flat[tuple(path)]))
+        sd[tk] = rng.normal(0, 0.02, shape).astype(np.float32)
+    return sd
+
+
+@pytest.mark.parametrize('name', ['qres_tiny', 'qarv_tiny', 'rd_tiny'])
+def test_full_model_conversion_coverage(name, rng_np):
+    import lvae_tpu
+    model = lvae_tpu.get_model(name)
+    sd = _synthetic_torch_sd(model, rng_np)
+    new_params = port.convert_state_dict(model, sd)
+    # structure identical, all leaves replaced with converted tensors
+    jax.tree.map(lambda a, b: None, model.params, new_params)
+    # spot check one tensor actually moved through a transform
+    old = jax.tree.leaves(model.params)[0]
+    new = jax.tree.leaves(new_params)[0]
+    assert old.shape == new.shape
