@@ -19,8 +19,20 @@ import numpy as np
 BASELINE_MS = 159.0  # RTX 3080 Ti enc+dec, reference README.md:49-56
 
 
+def _enable_compile_cache():
+    import os
+    import jax
+    if os.environ.get('LVAE_TPU_NO_CACHE'):
+        return
+    cache = os.path.expanduser('~/.cache/lvae_tpu_jax')
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update('jax_compilation_cache_dir', cache)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+
+
 def main():
     import jax
+    _enable_compile_cache()
     import lvae_tpu
 
     model = lvae_tpu.get_model('qarv_base')

@@ -71,13 +71,16 @@ def make_trainloader(dataset, batch_size: int, workers: int = 2,
     for t in threads:
         t.start()
 
-    def generator():
-        try:
-            while True:
-                yield q.get()
-        finally:
+    class _Loader:
+        """Infinite batch iterator with explicit shutdown."""
+
+        def __iter__(self):
+            return self
+
+        def __next__(self):
+            return q.get()
+
+        def stop(self):
             stop.set()
 
-    gen = generator()
-    gen.stop = stop.set  # allow explicit shutdown
-    return gen, sampler
+    return _Loader(), sampler

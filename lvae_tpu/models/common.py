@@ -91,17 +91,21 @@ class patch_upsample(nn.Module):
 
 class deconv(nn.Module):
     """Transposed conv upsample (reference: common.py:40-45). Output size is
-    exactly stride * input size, like the reference's output_padding setup."""
+    exactly stride * input size. Padding follows the torch
+    ConvTranspose2d(padding=k//2, output_padding=stride-1) convention so
+    ported weights (spatially flipped, see models/port.py) reproduce
+    identical outputs."""
     out_ch: int
     kernel_size: int = 5
     stride: int = 2
 
     @nn.compact
     def __call__(self, x):
-        return nn.ConvTranspose(self.out_ch,
-                                (self.kernel_size, self.kernel_size),
-                                strides=(self.stride, self.stride),
-                                padding='SAME', name='conv')(x)
+        k, s = self.kernel_size, self.stride
+        p = k // 2
+        lo, hi = k - 1 - p, k - 1 - p + (s - 1)
+        return nn.ConvTranspose(self.out_ch, (k, k), strides=(s, s),
+                                padding=[(lo, hi), (lo, hi)], name='conv')(x)
 
 
 class upsample_nearest(nn.Module):
