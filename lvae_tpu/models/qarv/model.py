@@ -67,12 +67,17 @@ class VRLVBlockBase(nn.Module):
     # --- staged methods (shared by encode & decode) --------------------------
 
     def prior_stage(self, feature, emb):
-        """p(z_i | z_<i): (feature_mid, pm, pv, coding indexes)."""
+        """p(z_i | z_<i): (feature_mid, pm, pv, coding indexes).
+
+        Indexes are uint8 (64-entry scale table) — they cross the
+        device->host boundary on every decode, and host link bandwidth is
+        the latency bottleneck on tunneled TPU setups."""
         feature = self.resnet_front(feature, emb)
         pm, plogv = jnp.split(self.prior(feature), 2, axis=-1)
         plogv = jax.nn.softplus(plogv + 2.3) - 2.3
         pv = jnp.exp(plogv)
-        indexes = ec.build_indexes(pv, cdf_ops.default_gaussian_scale_table())
+        indexes = ec.build_indexes(
+            pv, cdf_ops.default_gaussian_scale_table()).astype(jnp.uint8)
         return feature, pm, pv, indexes
 
     def posterior_qm(self, feature, enc_feature, emb):
@@ -84,8 +89,16 @@ class VRLVBlockBase(nn.Module):
         return self.posterior(merged)
 
     def posterior_symbols(self, feature, enc_feature, pm, emb):
+        """Encode-side: quantized residual symbols.
+
+        Returned as int16 plus an overflow flag (int16 halves the
+        device->host pull; values above int16 range are astronomically rare
+        with trained weights but the flag keeps coding exact — the caller
+        falls back to the int32 tensor when set)."""
         qm = self.posterior_qm(feature, enc_feature, emb)
-        return jnp.round(qm - pm).astype(jnp.int32)
+        syms = jnp.round(qm - pm).astype(jnp.int32)
+        overflow = jnp.max(jnp.abs(syms)) > 32000
+        return syms.astype(jnp.int16), syms, overflow
 
     def fuse_stage(self, feature, pm, symbols, emb):
         z = symbols.astype(jnp.float32) + pm
@@ -539,6 +552,9 @@ class QarvModel(VAEModelBase):
             return net.apply({'params': params}, feature, emb, k,
                              method=net.dec_plain_block)
 
+        def concat_flat(arrays):
+            return jnp.concatenate([a.reshape(-1) for a in arrays])
+
         self._stage_fns = {
             'backbone': jax.jit(backbone),
             'emb': jax.jit(emb_fn),
@@ -546,6 +562,7 @@ class QarvModel(VAEModelBase):
             'post_sym': jax.jit(post_sym, static_argnums=5),
             'fuse': jax.jit(fuse, static_argnums=5),
             'plain': jax.jit(plain, static_argnums=3),
+            'concat': jax.jit(concat_flat),
         }
 
     def compress(self, im, lmb=None):
@@ -563,22 +580,36 @@ class QarvModel(VAEModelBase):
         nH, nW = imH // self.net.max_stride, imW // self.net.max_stride
         feature = jnp.broadcast_to(params['bias'],
                                    (nB, nH, nW, params['bias'].shape[-1]))
-        per_block = []
+        sym16_list, sym32_list, over_list, idx_list = [], [], [], []
         for k, block in enumerate(self.net.dec_blocks):
             if getattr(block, 'is_latent_block', False):
                 f_mid, pm, pv, indexes = fns['prior'](params, feature, emb, k)
-                symbols = fns['post_sym'](params, f_mid,
-                                          enc_features[block.enc_key], pm, emb, k)
-                feature = fns['fuse'](params, f_mid, pm, symbols, emb, k)
-                per_block.append((symbols, indexes))
+                sym16, sym32, overflow = fns['post_sym'](
+                    params, f_mid, enc_features[block.enc_key], pm, emb, k)
+                feature = fns['fuse'](params, f_mid, pm, sym32, emb, k)
+                sym16_list.append(sym16)
+                sym32_list.append(sym32)
+                over_list.append(overflow)
+                idx_list.append(indexes)
             elif isinstance(block, common.CompressionStopFlag):
                 break
             else:
                 feature = fns['plain'](params, feature, emb, k)
-        per_block_np = jax.device_get(per_block)
-        assert len(per_block_np) == self.num_latents
-        all_strings = [self._coder.compress_symbols(s[0], ix[0])
-                       for s, ix in per_block_np]
+        assert len(sym16_list) == self.num_latents
+        # everything above is async; pull symbols+indexes in two fused
+        # transfers (host link bandwidth dominates latency)
+        flat_syms = np.asarray(fns['concat'](sym16_list))
+        flat_idx = np.asarray(fns['concat'](idx_list))
+        overflows = jax.device_get(over_list)
+        sizes = [int(np.prod(s.shape)) for s in sym16_list]
+        edges = np.cumsum([0] + sizes)
+        all_strings = []
+        for i in range(self.num_latents):
+            syms = flat_syms[edges[i]:edges[i + 1]].astype(np.int32)
+            if bool(overflows[i]):  # rare: int16 was lossy for this block
+                syms = np.asarray(sym32_list[i]).reshape(-1)
+            idx = flat_idx[edges[i]:edges[i + 1]].astype(np.int32)
+            all_strings.append(self._coder.compress_symbols(syms, idx))
         string = coding.pack_byte_strings(all_strings)
         header1 = struct.pack('f', lmb_f32)
         header2 = struct.pack('3H', nB, nH, nW)
@@ -599,10 +630,14 @@ class QarvModel(VAEModelBase):
         for k, block in enumerate(self.net.dec_blocks):
             if getattr(block, 'is_latent_block', False):
                 f_mid, pm, pv, indexes = fns['prior'](params, feature, emb, k)
-                idx_np = np.asarray(indexes)
+                idx_np = np.asarray(indexes).astype(np.int32)  # uint8 on wire
                 syms = self._coder.decompress_symbols(
                     all_lv_strings[str_i], idx_np[0]).reshape(idx_np[0].shape)
                 str_i += 1
+                # int16 halves the host->device push; exact unless a decoded
+                # value exceeds the range (kept exact via int32 fallback)
+                if np.abs(syms).max(initial=0) < 32000:
+                    syms = syms.astype(np.int16)
                 feature = fns['fuse'](params, f_mid, pm,
                                       jnp.asarray(syms)[None], emb, k)
             elif isinstance(block, common.CompressionStopFlag):

@@ -171,16 +171,23 @@ class QLatentBlock(nn.Module):
         pm, plogv = jnp.split(p_out, 2, axis=-1)
         plogv = jax.nn.softplus(plogv + 2.3) - 2.3
         pv = jnp.exp(plogv)
-        indexes = ec.build_indexes(pv, cdf_ops.qres_latent_scale_table())
+        # uint8: indexes cross the device->host link on every decode
+        indexes = ec.build_indexes(
+            pv, cdf_ops.qres_latent_scale_table()).astype(jnp.uint8)
         return feature, pm, pv, indexes
 
     def posterior_qm(self, feature, enc_feature):
         return self.posterior(jnp.concatenate([feature, enc_feature], axis=-1))
 
     def posterior_symbols(self, feature, enc_feature, pm):
-        """Encode-side: quantized residual symbols (int32)."""
+        """Encode-side: quantized residual symbols.
+
+        int16 + overflow flag halves the device->host pull; the int32 tensor
+        is the exact fallback (see qarv.VRLVBlockBase.posterior_symbols)."""
         qm = self.posterior_qm(feature, enc_feature)
-        return jnp.round(qm - pm).astype(jnp.int32)
+        syms = jnp.round(qm - pm).astype(jnp.int32)
+        overflow = jnp.max(jnp.abs(syms)) > 32000
+        return syms.astype(jnp.int16), syms, overflow
 
     def fuse_stage(self, feature, pm, symbols):
         """Add the information carried by decoded symbols to the feature."""
@@ -523,12 +530,16 @@ class QresModel(VAEModelBase):
             x = (im + net.im_shift) * net.im_scale
             return net.apply({'params': params}, x, method=net.encode)
 
+        def concat_flat(arrays):
+            return jnp.concatenate([a.reshape(-1) for a in arrays])
+
         self._stage_fns = {
             'prior': jax.jit(prior, static_argnums=2),
             'post_sym': jax.jit(post_sym, static_argnums=4),
             'fuse': jax.jit(fuse, static_argnums=4),
             'plain': jax.jit(plain, static_argnums=2),
             'backbone': jax.jit(backbone),
+            'concat': jax.jit(concat_flat),
         }
 
     def compress(self, im):
@@ -546,23 +557,37 @@ class QresModel(VAEModelBase):
         feature = jnp.broadcast_to(
             self.params['bias'], (nB, f0.shape[1], f0.shape[2],
                                   self.params['bias'].shape[-1]))
-        per_block = []  # (symbols, indexes) device arrays
+        sym16_list, sym32_list, over_list, idx_list, shapes = [], [], [], [], []
         for k, block in enumerate(self.net.dec_blocks):
             if getattr(block, 'is_latent_block', False):
                 feature_mid, pm, pv, indexes = fns['prior'](params, feature, k)
                 res = int(feature_mid.shape[1])
-                symbols = fns['post_sym'](params, feature_mid,
-                                          enc_features[res], pm, k)
-                feature = fns['fuse'](params, feature_mid, pm, symbols, k)
-                per_block.append((symbols, indexes))
+                sym16, sym32, overflow = fns['post_sym'](
+                    params, feature_mid, enc_features[res], pm, k)
+                feature = fns['fuse'](params, feature_mid, pm, sym32, k)
+                sym16_list.append(sym16)
+                sym32_list.append(sym32)
+                over_list.append(overflow)
+                idx_list.append(indexes)
+                shapes.append(sym16.shape)
             else:
                 feature = fns['plain'](params, feature, k)
-        # single host pull of all symbol/index tensors, then rANS stage
-        per_block_np = jax.device_get(per_block)
+        # two fused host pulls (the host link dominates latency), then rANS
+        flat_syms = np.asarray(fns['concat'](sym16_list))
+        flat_idx = np.asarray(fns['concat'](idx_list))
+        overflows = jax.device_get(over_list)
+        sizes = [int(np.prod(s)) for s in shapes]
+        edges = np.cumsum([0] + sizes)
         compressed = []
-        for symbols, indexes in per_block_np:
-            strs_batch = [self._block_coder.compress_symbols(
-                symbols[b], indexes[b]) for b in range(nB)]
+        for i, shape in enumerate(shapes):
+            syms = flat_syms[edges[i]:edges[i + 1]].astype(np.int32)
+            if bool(overflows[i]):
+                syms = np.asarray(sym32_list[i]).reshape(-1)
+            idx = flat_idx[edges[i]:edges[i + 1]].astype(np.int32)
+            syms = syms.reshape(nB, -1)
+            idx = idx.reshape(nB, -1)
+            strs_batch = [self._block_coder.compress_symbols(syms[b], idx[b])
+                          for b in range(nB)]
             compressed.append(strs_batch)
         compressed.append(tuple(int(v) for v in f0.shape))
         if self.lossless:
@@ -599,6 +624,8 @@ class QresModel(VAEModelBase):
                 syms = np.stack([
                     self._block_coder.decompress_symbols(strs_batch[b], idx_np[b])
                     .reshape(idx_np[b].shape) for b in range(nB)])
+                if np.abs(syms).max(initial=0) < 32000:
+                    syms = syms.astype(np.int16)  # halve the H2D push
                 feature = fns['fuse'](params, feature_mid, pm,
                                       jnp.asarray(syms), k)
             else:

@@ -65,7 +65,10 @@ def create_train_state(params, optimizer='adam', ema=True):
         opt_state=tx.init(params),
         grad_accum=zeros,
         accum_count=jnp.zeros((), jnp.int32),
-        ema_params=jax.tree.map(lambda x: x, params) if ema else None,
+        # a real copy: EMA must not alias params (donation would see the
+        # same buffer twice)
+        ema_params=jax.tree.map(lambda x: jnp.array(x, copy=True), params)
+        if ema else None,
         step=jnp.zeros((), jnp.int32),
     ), tx
 

@@ -182,9 +182,11 @@ class BaseTrainingWrapper:
         elif cfg.weights is not None:
             self.model.load_weights(cfg.weights)
             host_state = jax.device_get(self.state)
+            import numpy as _np
             host_state = host_state.replace(
                 params=self.model.params,
-                ema_params=self.model.params if cfg.ema else None)
+                ema_params=jax.tree.map(_np.array, self.model.params)
+                if cfg.ema else None)
             self.state = parallel.replicate(host_state, self.mesh)
             logging.info(f'Initialized weights from {cfg.weights}')
         else:
