@@ -66,12 +66,28 @@ def main():
     total_ms = enc_ms + dec_ms
     bpp = len(bits) * 8 / (H * W)
 
+    # pure device-compute reference: one fused forward program (no host
+    # entropy-coding stage, no host-link transfers except the loss scalar)
+    import jax.numpy as jnp
+    imj = jnp.asarray(im)
+    lmb_arr = jnp.full((1,), lmb, jnp.float32)
+    loss, _ = model._jit_eval(model.params, imj, lmb_arr)
+    jax.block_until_ready(loss)
+    fwd = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        loss, _ = model._jit_eval(model.params, imj, lmb_arr)
+        jax.block_until_ready(loss)
+        fwd.append(time.perf_counter() - t0)
+    fwd_ms = float(np.mean(fwd) * 1e3)
+
     print(json.dumps({
         'metric': 'qarv_base_encdec_latency',
         'value': round(total_ms, 3),
         'unit': 'ms',
         'vs_baseline': round(BASELINE_MS / total_ms, 3),
         'detail': {'encode_ms': round(enc_ms, 3), 'decode_ms': round(dec_ms, 3),
+                   'device_forward_ms': round(fwd_ms, 3),
                    'bpp_random_image': round(bpp, 4),
                    'device': str(jax.devices()[0])},
     }))

@@ -97,8 +97,11 @@ class VRLVBlockBase(nn.Module):
         falls back to the int32 tensor when set)."""
         qm = self.posterior_qm(feature, enc_feature, emb)
         syms = jnp.round(qm - pm).astype(jnp.int32)
-        overflow = jnp.max(jnp.abs(syms)) > 32000
-        return syms.astype(jnp.int16), syms, overflow
+        # overflow sentinel: legit values are clamped away from -32768, so the
+        # host detects truncation from the int16 data alone (scalar flag
+        # pulls would each pay the host-link's fixed transfer cost)
+        sym16 = jnp.where(jnp.abs(syms) > 32000, -32768, syms).astype(jnp.int16)
+        return sym16, syms
 
     def fuse_stage(self, feature, pm, symbols, emb):
         z = symbols.astype(jnp.float32) + pm
@@ -555,7 +558,14 @@ class QarvModel(VAEModelBase):
         def concat_flat(arrays):
             return jnp.concatenate([a.reshape(-1) for a in arrays])
 
+        def finish(feature):
+            # final image crosses the host link: f16 halves the transfer at
+            # a ~77dB error floor (≤0.005dB PSNR impact at codec quality)
+            im = jnp.clip(feature, -1.0, 1.0) * 0.5 + 0.5
+            return im.astype(jnp.float16)
+
         self._stage_fns = {
+            'finish': jax.jit(finish),
             'backbone': jax.jit(backbone),
             'emb': jax.jit(emb_fn),
             'prior': jax.jit(prior, static_argnums=3),
@@ -580,16 +590,15 @@ class QarvModel(VAEModelBase):
         nH, nW = imH // self.net.max_stride, imW // self.net.max_stride
         feature = jnp.broadcast_to(params['bias'],
                                    (nB, nH, nW, params['bias'].shape[-1]))
-        sym16_list, sym32_list, over_list, idx_list = [], [], [], []
+        sym16_list, sym32_list, idx_list = [], [], []
         for k, block in enumerate(self.net.dec_blocks):
             if getattr(block, 'is_latent_block', False):
                 f_mid, pm, pv, indexes = fns['prior'](params, feature, emb, k)
-                sym16, sym32, overflow = fns['post_sym'](
+                sym16, sym32 = fns['post_sym'](
                     params, f_mid, enc_features[block.enc_key], pm, emb, k)
                 feature = fns['fuse'](params, f_mid, pm, sym32, emb, k)
                 sym16_list.append(sym16)
                 sym32_list.append(sym32)
-                over_list.append(overflow)
                 idx_list.append(indexes)
             elif isinstance(block, common.CompressionStopFlag):
                 break
@@ -597,16 +606,15 @@ class QarvModel(VAEModelBase):
                 feature = fns['plain'](params, feature, emb, k)
         assert len(sym16_list) == self.num_latents
         # everything above is async; pull symbols+indexes in two fused
-        # transfers (host link bandwidth dominates latency)
+        # transfers (the host link's fixed per-transfer cost dominates)
         flat_syms = np.asarray(fns['concat'](sym16_list))
         flat_idx = np.asarray(fns['concat'](idx_list))
-        overflows = jax.device_get(over_list)
         sizes = [int(np.prod(s.shape)) for s in sym16_list]
         edges = np.cumsum([0] + sizes)
         all_strings = []
         for i in range(self.num_latents):
             syms = flat_syms[edges[i]:edges[i + 1]].astype(np.int32)
-            if bool(overflows[i]):  # rare: int16 was lossy for this block
+            if (syms == -32768).any():  # sentinel: int16 was lossy here
                 syms = np.asarray(sym32_list[i]).reshape(-1)
             idx = flat_idx[edges[i]:edges[i + 1]].astype(np.int32)
             all_strings.append(self._coder.compress_symbols(syms, idx))
@@ -645,7 +653,7 @@ class QarvModel(VAEModelBase):
             else:
                 feature = fns['plain'](params, feature, emb, k)
         assert str_i == len(all_lv_strings), f'{str_i=} != {len(all_lv_strings)=}'
-        return np.clip(np.asarray(feature), -1, 1) * 0.5 + 0.5
+        return np.asarray(fns['finish'](feature), dtype=np.float32)
 
     def compress_file(self, img_path, output_path, lmb=None):
         """(reference: qarv/model.py:559-570)"""

@@ -186,8 +186,9 @@ class QLatentBlock(nn.Module):
         is the exact fallback (see qarv.VRLVBlockBase.posterior_symbols)."""
         qm = self.posterior_qm(feature, enc_feature)
         syms = jnp.round(qm - pm).astype(jnp.int32)
-        overflow = jnp.max(jnp.abs(syms)) > 32000
-        return syms.astype(jnp.int16), syms, overflow
+        # -32768 sentinel marks int16 truncation (see qarv posterior_symbols)
+        sym16 = jnp.where(jnp.abs(syms) > 32000, -32768, syms).astype(jnp.int16)
+        return sym16, syms
 
     def fuse_stage(self, feature, pm, symbols):
         """Add the information carried by decoded symbols to the feature."""
@@ -533,7 +534,14 @@ class QresModel(VAEModelBase):
         def concat_flat(arrays):
             return jnp.concatenate([a.reshape(-1) for a in arrays])
 
+        def finish(params, feature):
+            # f16 halves the final image transfer (~77dB error floor)
+            x_hat = net.apply({'params': params}, feature, method=net.out_mean)
+            im = jnp.clip(x_hat, -1.0, 1.0) * 0.5 + 0.5
+            return im.astype(jnp.float16)
+
         self._stage_fns = {
+            'finish': jax.jit(finish),
             'prior': jax.jit(prior, static_argnums=2),
             'post_sym': jax.jit(post_sym, static_argnums=4),
             'fuse': jax.jit(fuse, static_argnums=4),
@@ -557,17 +565,16 @@ class QresModel(VAEModelBase):
         feature = jnp.broadcast_to(
             self.params['bias'], (nB, f0.shape[1], f0.shape[2],
                                   self.params['bias'].shape[-1]))
-        sym16_list, sym32_list, over_list, idx_list, shapes = [], [], [], [], []
+        sym16_list, sym32_list, idx_list, shapes = [], [], [], []
         for k, block in enumerate(self.net.dec_blocks):
             if getattr(block, 'is_latent_block', False):
                 feature_mid, pm, pv, indexes = fns['prior'](params, feature, k)
                 res = int(feature_mid.shape[1])
-                sym16, sym32, overflow = fns['post_sym'](
+                sym16, sym32 = fns['post_sym'](
                     params, feature_mid, enc_features[res], pm, k)
                 feature = fns['fuse'](params, feature_mid, pm, sym32, k)
                 sym16_list.append(sym16)
                 sym32_list.append(sym32)
-                over_list.append(overflow)
                 idx_list.append(indexes)
                 shapes.append(sym16.shape)
             else:
@@ -575,13 +582,12 @@ class QresModel(VAEModelBase):
         # two fused host pulls (the host link dominates latency), then rANS
         flat_syms = np.asarray(fns['concat'](sym16_list))
         flat_idx = np.asarray(fns['concat'](idx_list))
-        overflows = jax.device_get(over_list)
         sizes = [int(np.prod(s)) for s in shapes]
         edges = np.cumsum([0] + sizes)
         compressed = []
         for i, shape in enumerate(shapes):
             syms = flat_syms[edges[i]:edges[i + 1]].astype(np.int32)
-            if bool(overflows[i]):
+            if (syms == -32768).any():  # sentinel: int16 was lossy here
                 syms = np.asarray(sym32_list[i]).reshape(-1)
             idx = flat_idx[edges[i]:edges[i + 1]].astype(np.int32)
             syms = syms.reshape(nB, -1)
@@ -640,11 +646,8 @@ class QresModel(VAEModelBase):
                 self._head_coder.decompress_symbols(head_strings[b], head_idx[b])
                 .reshape(head_idx[b].shape) for b in range(nB)])
             x_hat = (xs + pm) * self.net.out_net.bin_size
-        else:
-            x_hat = self.net.apply({'params': params}, feature,
-                                   method=self.net.out_mean)
-        im_hat = np.clip(np.asarray(x_hat, np.float32), -1, 1) * 0.5 + 0.5
-        return im_hat
+            return np.clip(np.asarray(x_hat, np.float32), -1, 1) * 0.5 + 0.5
+        return np.asarray(fns['finish'](params, feature), dtype=np.float32)
 
     def compress_file(self, img_path, output_path):
         """Compress an image file (pickle container + original h/w,
