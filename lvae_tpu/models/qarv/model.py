@@ -555,8 +555,13 @@ class QarvModel(VAEModelBase):
             return net.apply({'params': params}, feature, emb, k,
                              method=net.dec_plain_block)
 
-        def concat_flat(arrays):
-            return jnp.concatenate([a.reshape(-1) for a in arrays])
+        def concat_packed(sym_list, idx_list):
+            """Pack all int16 symbols + uint8 indexes into ONE uint8 buffer:
+            a single host pull instead of two (fixed per-transfer cost)."""
+            syms = jnp.concatenate([a.reshape(-1) for a in sym_list])
+            idx = jnp.concatenate([a.reshape(-1) for a in idx_list])
+            sym_bytes = jax.lax.bitcast_convert_type(syms, jnp.uint8).reshape(-1)
+            return jnp.concatenate([sym_bytes, idx])
 
         def finish(feature):
             # final image crosses the host link: f16 halves the transfer at
@@ -572,7 +577,7 @@ class QarvModel(VAEModelBase):
             'post_sym': jax.jit(post_sym, static_argnums=5),
             'fuse': jax.jit(fuse, static_argnums=5),
             'plain': jax.jit(plain, static_argnums=3),
-            'concat': jax.jit(concat_flat),
+            'concat_packed': jax.jit(concat_packed),
         }
 
     def compress(self, im, lmb=None):
@@ -605,10 +610,12 @@ class QarvModel(VAEModelBase):
             else:
                 feature = fns['plain'](params, feature, emb, k)
         assert len(sym16_list) == self.num_latents
-        # everything above is async; pull symbols+indexes in two fused
-        # transfers (the host link's fixed per-transfer cost dominates)
-        flat_syms = np.asarray(fns['concat'](sym16_list))
-        flat_idx = np.asarray(fns['concat'](idx_list))
+        # everything above is async; pull symbols+indexes in ONE fused
+        # transfer (the host link's fixed per-transfer cost dominates)
+        packed = np.asarray(fns['concat_packed'](sym16_list, idx_list))
+        total = sum(int(np.prod(s.shape)) for s in sym16_list)
+        flat_syms = packed[:2 * total].view(np.int16)
+        flat_idx = packed[2 * total:]
         sizes = [int(np.prod(s.shape)) for s in sym16_list]
         edges = np.cumsum([0] + sizes)
         all_strings = []

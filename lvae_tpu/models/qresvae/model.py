@@ -531,8 +531,12 @@ class QresModel(VAEModelBase):
             x = (im + net.im_shift) * net.im_scale
             return net.apply({'params': params}, x, method=net.encode)
 
-        def concat_flat(arrays):
-            return jnp.concatenate([a.reshape(-1) for a in arrays])
+        def concat_packed(sym_list, idx_list):
+            """Pack int16 symbols + uint8 indexes into ONE uint8 pull."""
+            syms = jnp.concatenate([a.reshape(-1) for a in sym_list])
+            idx = jnp.concatenate([a.reshape(-1) for a in idx_list])
+            sym_bytes = jax.lax.bitcast_convert_type(syms, jnp.uint8).reshape(-1)
+            return jnp.concatenate([sym_bytes, idx])
 
         def finish(params, feature):
             # f16 halves the final image transfer (~77dB error floor)
@@ -547,7 +551,7 @@ class QresModel(VAEModelBase):
             'fuse': jax.jit(fuse, static_argnums=4),
             'plain': jax.jit(plain, static_argnums=2),
             'backbone': jax.jit(backbone),
-            'concat': jax.jit(concat_flat),
+            'concat_packed': jax.jit(concat_packed),
         }
 
     def compress(self, im):
@@ -579,9 +583,11 @@ class QresModel(VAEModelBase):
                 shapes.append(sym16.shape)
             else:
                 feature = fns['plain'](params, feature, k)
-        # two fused host pulls (the host link dominates latency), then rANS
-        flat_syms = np.asarray(fns['concat'](sym16_list))
-        flat_idx = np.asarray(fns['concat'](idx_list))
+        # one fused host pull (the host link dominates latency), then rANS
+        packed = np.asarray(fns['concat_packed'](sym16_list, idx_list))
+        total = sum(int(np.prod(s)) for s in shapes)
+        flat_syms = packed[:2 * total].view(np.int16)
+        flat_idx = packed[2 * total:]
         sizes = [int(np.prod(s)) for s in shapes]
         edges = np.cumsum([0] + sizes)
         compressed = []
