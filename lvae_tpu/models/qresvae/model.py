@@ -506,26 +506,31 @@ class QresModel(VAEModelBase):
             self._build_stage_fns()
         self.compressing = mode
 
+    def _block_params(self, k):
+        """Per-block parameter subtree; stage dispatch cost scales with the
+        number of argument buffers, so never pass the full model tree."""
+        return self.params.get(f'dec_blocks_{k}', {})
+
     def _build_stage_fns(self):
         if hasattr(self, '_stage_fns'):
             return
         net = self.net
 
-        def prior(params, feature, k):
-            return net.apply({'params': params}, feature, k,
-                             method=net.dec_prior_stage)
+        # `block` is a static arg; equal block configs share executables
+        def prior(block, bp, feature):
+            return block.apply({'params': bp}, feature,
+                               method=block.prior_stage)
 
-        def post_sym(params, feature, enc_f, pm, k):
-            return net.apply({'params': params}, feature, enc_f, pm, k,
-                             method=net.dec_posterior_symbols)
+        def post_sym(block, bp, feature, enc_f, pm):
+            return block.apply({'params': bp}, feature, enc_f, pm,
+                               method=block.posterior_symbols)
 
-        def fuse(params, feature, pm, symbols, k):
-            return net.apply({'params': params}, feature, pm, symbols, k,
-                             method=net.dec_fuse_stage)
+        def fuse(block, bp, feature, pm, symbols):
+            return block.apply({'params': bp}, feature, pm, symbols,
+                               method=block.fuse_stage)
 
-        def plain(params, feature, k):
-            return net.apply({'params': params}, feature, k,
-                             method=net.dec_plain_block)
+        def plain(block, bp, feature):
+            return block.apply({'params': bp}, feature)
 
         def backbone(params, im):
             x = (im + net.im_shift) * net.im_scale
@@ -538,18 +543,20 @@ class QresModel(VAEModelBase):
             sym_bytes = jax.lax.bitcast_convert_type(syms, jnp.uint8).reshape(-1)
             return jnp.concatenate([sym_bytes, idx])
 
-        def finish(params, feature):
+        def finish(out_params, feature):
             # f16 halves the final image transfer (~77dB error floor)
-            x_hat = net.apply({'params': params}, feature, method=net.out_mean)
+            x_hat = net.out_net.apply({'params': out_params}, feature,
+                                      method=net.out_net.mean) \
+                if out_params else feature
             im = jnp.clip(x_hat, -1.0, 1.0) * 0.5 + 0.5
             return im.astype(jnp.float16)
 
         self._stage_fns = {
             'finish': jax.jit(finish),
-            'prior': jax.jit(prior, static_argnums=2),
-            'post_sym': jax.jit(post_sym, static_argnums=4),
-            'fuse': jax.jit(fuse, static_argnums=4),
-            'plain': jax.jit(plain, static_argnums=2),
+            'prior': jax.jit(prior, static_argnums=0),
+            'post_sym': jax.jit(post_sym, static_argnums=0),
+            'fuse': jax.jit(fuse, static_argnums=0),
+            'plain': jax.jit(plain, static_argnums=0),
             'backbone': jax.jit(backbone),
             'concat_packed': jax.jit(concat_packed),
         }
@@ -571,18 +578,19 @@ class QresModel(VAEModelBase):
                                   self.params['bias'].shape[-1]))
         sym16_list, sym32_list, idx_list, shapes = [], [], [], []
         for k, block in enumerate(self.net.dec_blocks):
+            bp = self._block_params(k)
             if getattr(block, 'is_latent_block', False):
-                feature_mid, pm, pv, indexes = fns['prior'](params, feature, k)
+                feature_mid, pm, pv, indexes = fns['prior'](block, bp, feature)
                 res = int(feature_mid.shape[1])
                 sym16, sym32 = fns['post_sym'](
-                    params, feature_mid, enc_features[res], pm, k)
-                feature = fns['fuse'](params, feature_mid, pm, sym32, k)
+                    block, bp, feature_mid, enc_features[res], pm)
+                feature = fns['fuse'](block, bp, feature_mid, pm, sym32)
                 sym16_list.append(sym16)
                 sym32_list.append(sym32)
                 idx_list.append(indexes)
                 shapes.append(sym16.shape)
             else:
-                feature = fns['plain'](params, feature, k)
+                feature = fns['plain'](block, bp, feature)
         # one fused host pull (the host link dominates latency), then rANS
         packed = np.asarray(fns['concat_packed'](sym16_list, idx_list))
         total = sum(int(np.prod(s)) for s in shapes)
@@ -628,8 +636,9 @@ class QresModel(VAEModelBase):
             params['bias'], (nB, fH, fW, params['bias'].shape[-1]))
         str_i = 0
         for k, block in enumerate(self.net.dec_blocks):
+            bp = self._block_params(k)
             if getattr(block, 'is_latent_block', False):
-                feature_mid, pm, pv, indexes = fns['prior'](params, feature, k)
+                feature_mid, pm, pv, indexes = fns['prior'](block, bp, feature)
                 idx_np = np.asarray(indexes)
                 strs_batch = compressed_object[str_i]
                 str_i += 1
@@ -638,10 +647,10 @@ class QresModel(VAEModelBase):
                     .reshape(idx_np[b].shape) for b in range(nB)])
                 if np.abs(syms).max(initial=0) < 32000:
                     syms = syms.astype(np.int16)  # halve the H2D push
-                feature = fns['fuse'](params, feature_mid, pm,
-                                      jnp.asarray(syms), k)
+                feature = fns['fuse'](block, bp, feature_mid, pm,
+                                      jnp.asarray(syms))
             else:
-                feature = fns['plain'](params, feature, k)
+                feature = fns['plain'](block, bp, feature)
         assert str_i == len(compressed_object) - 1
         if self.lossless:
             pm, plogv = jax.device_get(self.net.apply(
@@ -653,7 +662,8 @@ class QresModel(VAEModelBase):
                 .reshape(head_idx[b].shape) for b in range(nB)])
             x_hat = (xs + pm) * self.net.out_net.bin_size
             return np.clip(np.asarray(x_hat, np.float32), -1, 1) * 0.5 + 0.5
-        return np.asarray(fns['finish'](params, feature), dtype=np.float32)
+        return np.asarray(fns['finish'](params.get('out_net', {}), feature),
+                          dtype=np.float32)
 
     def compress_file(self, img_path, output_path):
         """Compress an image file (pickle container + original h/w,

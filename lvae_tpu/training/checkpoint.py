@@ -14,6 +14,10 @@ import flax.serialization
 try:
     import orbax.checkpoint as ocp
     _HAS_ORBAX = True
+    # orbax's per-save INFO logging is extremely chatty
+    import logging as _logging
+    for _name in ('orbax', 'orbax.checkpoint', 'absl'):
+        _logging.getLogger(_name).setLevel(_logging.WARNING)
 except Exception:  # pragma: no cover
     _HAS_ORBAX = False
 

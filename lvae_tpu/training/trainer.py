@@ -152,6 +152,25 @@ class BaseTrainingWrapper:
         self._tx = tx
         self.state = parallel.replicate(state, self.mesh)
 
+        # parameter-group accounting (reference: trainer.py:200-210)
+        if self.is_main:
+            from lvae_tpu.training.optim import param_group_label
+            groups = {'weights': [], 'bias': [], 'other': []}
+            for path, leaf in jax.tree_util.tree_leaves_with_path(
+                    self.model.params):
+                key = tuple(str(getattr(k, 'key', getattr(k, 'idx', k)))
+                            for k in path)
+                groups[param_group_label(key)].append(
+                    f'{"/".join(key):<80s} {tuple(leaf.shape)}')
+            groups['groups'] = [
+                f'weights: lr={cfg.lr}, weight_decay={cfg.wdecay}',
+                f'bias:    lr={cfg.lr}, weight_decay=0.0',
+                f'other:   lr={cfg.lr}, weight_decay=0.0',
+            ]
+            utils.json_dump(groups, fpath=self._log_dir / 'optimizer.json')
+            logging.info('optimizer parameter groups: ' + ', '.join(
+                f'[{k}: {len(v)}]' for k, v in groups.items()))
+
         def loss_fn(params, batch, rng):
             return self.model.loss_and_stats(params, batch, rng, training=True)
 
@@ -180,15 +199,25 @@ class BaseTrainingWrapper:
             self._best_loss = float(restored['best_loss'])
             logging.info(f'Resumed from {path} at iter {self._cur_iter}')
         elif cfg.weights is not None:
-            self.model.load_weights(cfg.weights)
-            host_state = jax.device_get(self.state)
             import numpy as _np
-            host_state = host_state.replace(
-                params=self.model.params,
-                ema_params=jax.tree.map(_np.array, self.model.params)
-                if cfg.ema else None)
+            host_state = jax.device_get(self.state)
+            if getattr(cfg, 'load_optim', False) and \
+                    ckpt.checkpoint_exists(cfg.weights):
+                # warm start incl. optimizer state (reference: trainer.py:272-280)
+                template = {'state': host_state, 'iter': 0, 'epoch': 0.0,
+                            'best_loss': float('inf')}
+                restored = ckpt.load_checkpoint(cfg.weights, template)
+                host_state = restored['state'].replace(
+                    step=host_state.step, accum_count=host_state.accum_count)
+            else:
+                self.model.load_weights(cfg.weights)
+                host_state = host_state.replace(
+                    params=self.model.params,
+                    ema_params=jax.tree.map(_np.array, self.model.params)
+                    if cfg.ema else None)
             self.state = parallel.replicate(host_state, self.mesh)
-            logging.info(f'Initialized weights from {cfg.weights}')
+            logging.info(f'Initialized weights from {cfg.weights} '
+                         f'(load_optim={getattr(cfg, "load_optim", False)})')
         else:
             logging.info('Training from scratch (no pretrained weights).')
 
