@@ -1,0 +1,200 @@
+"""Pallas TPU kernel: N-lane interleaved rANS decode.
+
+Decodes the stream format produced by ops/rans_interleaved.py entirely on
+device, so a hierarchical decode needs only TWO host transfers per image
+(bitstream in, image out) instead of two per latent block.
+
+Vectorization strategy (per decode step, all N lanes together):
+  * gathers use one-hot matmuls on the MXU. TPU f32 matmuls are NOT exact
+    for 17-bit integers (bf16 passes drop low bits), so 16-bit tables are
+    BYTE-SPLIT: gather lo and hi bytes separately (each <= 256, exact in
+    bf16) and recombine in int32
+  * symbol search:     sum(cdf_row <= slot) - 1      (int32 VPU)
+  * state update:      int32 ops with LOGICAL shifts (uint32 bit patterns)
+  * stream reads:      renorm flags -> prefix sum via lower-triangular
+    matmul (values <= N, exact) -> two-stage gather from an aligned
+    2048-word window
+
+The kernel loops over rows (N symbols per row) with lax.fori_loop and
+carries (states, stream pointer) across rows AND across kernel invocations
+(latent blocks of one image share lane states).
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+RANS16_L = 1 << 16
+MASK16 = (1 << 16) - 1
+_SENTINEL = 1 << 17  # padded-CDF entry: larger than any slot, byte-splittable
+
+
+def _srl(x, n):
+    return jax.lax.shift_right_logical(x, jnp.int32(n))
+
+
+def _decode_kernel(nsym_ref, ptr_in_ref,          # scalar prefetch (SMEM)
+                   idx_ref, stream_lo_ref, stream_hi_ref,
+                   cdf_lo_ref, cdf_hi_ref, off_ref, states_in_ref,
+                   syms_ref, states_out_ref, ptr_out_ref,
+                   *, N, S, L):
+    T = idx_ref.shape[0]
+    nsym = nsym_ref[0]
+
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)       # (1,N)
+    lane_col = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)        # (N,1)
+    lcol = jax.lax.broadcasted_iota(jnp.int32, (N, L), 1)            # (N,L)
+    scol = jax.lax.broadcasted_iota(jnp.int32, (N, S), 1)            # (N,S)
+    ccol16 = jax.lax.broadcasted_iota(jnp.int32, (N, 16), 1)         # (N,16)
+    wcol = jax.lax.broadcasted_iota(jnp.int32, (N, 128), 1)          # (N,128)
+    # lower-triangular ones (j <= l): inclusive prefix sum via MXU
+    tri = (jax.lax.broadcasted_iota(jnp.int32, (N, N), 0) >=
+           jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)).astype(jnp.float32)
+    cdf_lo = cdf_lo_ref[:].astype(jnp.float32)                        # (S,L)
+    cdf_hi = cdf_hi_ref[:].astype(jnp.float32)
+    off_f32 = off_ref[:].astype(jnp.float32).reshape(S, 1)            # (S,1)
+
+    def body(t, carry):
+        states, ptr = carry                                           # (1,N) i32
+        active_row = (t * N + lane_iota) < nsym                       # (1,N)
+        active_col = (t * N + lane_col) < nsym                        # (N,1)
+        idx = idx_ref[t, :].reshape(1, N)                              # (1,N)
+
+        # CDF row gather (byte-split, exact)
+        onehot_s = (idx.reshape(N, 1) == scol).astype(jnp.float32)     # (N,S)
+        rows_lo = jnp.dot(onehot_s, cdf_lo,
+                          preferred_element_type=jnp.float32)          # (N,L)
+        rows_hi = jnp.dot(onehot_s, cdf_hi,
+                          preferred_element_type=jnp.float32)
+        rows = rows_hi.astype(jnp.int32) * 256 + rows_lo.astype(jnp.int32)
+        offs = jnp.dot(onehot_s, off_f32,
+                       preferred_element_type=jnp.float32).astype(jnp.int32)
+
+        slot = (states & MASK16).reshape(N, 1)                         # (N,1)
+        # symbol = (#cdf entries <= slot) - 1   (int compare on VPU)
+        s = jnp.sum((rows <= slot).astype(jnp.int32), axis=1,
+                    keepdims=True) - 1                                 # (N,1)
+        start = jnp.sum(jnp.where(lcol == s, rows, 0), axis=1,
+                        keepdims=True)                                 # (N,1)
+        cdf_next = jnp.sum(jnp.where(lcol == (s + 1), rows, 0), axis=1,
+                           keepdims=True)
+        freq_i = cdf_next - start
+
+        st = states.reshape(N, 1)
+        new_st = freq_i * _srl(st, 16) + slot - start                  # (N,1)
+        flags = jnp.logical_and(_srl(new_st, 16) == 0, active_col)
+        flags_f = flags.astype(jnp.float32)
+        # inclusive prefix sum over lanes (lane order = word order)
+        cum = jnp.dot(tri, flags_f, preferred_element_type=jnp.float32)
+        pos_rel = (cum - flags_f).astype(jnp.int32)                    # exclusive
+        # aligned 2048-word window covering [ptr, ptr+N); two-stage gather
+        base = pl.multiple_of((ptr // 1024) * 1024, 1024)
+        win_lo = stream_lo_ref[pl.ds(base, 2048)].reshape(16, 128)
+        win_hi = stream_hi_ref[pl.ds(base, 2048)].reshape(16, 128)
+        target = (ptr - base) + pos_rel                                # (N,1)
+        chunk_id = target // 128
+        within = target - chunk_id * 128
+        sel_c = (chunk_id == ccol16).astype(jnp.float32)               # (N,16)
+        rows_wlo = jnp.dot(sel_c, win_lo.astype(jnp.float32),
+                           preferred_element_type=jnp.float32)         # (N,128)
+        rows_whi = jnp.dot(sel_c, win_hi.astype(jnp.float32),
+                           preferred_element_type=jnp.float32)
+        in_sel = (within == wcol)
+        word_lo = jnp.sum(jnp.where(in_sel, rows_wlo.astype(jnp.int32), 0),
+                          axis=1, keepdims=True)
+        word_hi = jnp.sum(jnp.where(in_sel, rows_whi.astype(jnp.int32), 0),
+                          axis=1, keepdims=True)
+        words = word_hi * 256 + word_lo                                # (N,1)
+
+        fed = (new_st << 16) | (words & MASK16)
+        new_st = jnp.where(flags, fed, new_st)
+        new_states = jnp.where(active_col, new_st, st)
+
+        # value = symbol + offset (escape positions patched later on device)
+        vals = (s + offs).reshape(1, N)
+        syms_ref[t, :] = jnp.where(active_row, vals, 0).reshape(N)
+
+        nread = jnp.sum(flags.astype(jnp.int32))
+        return new_states.reshape(1, N), ptr + nread
+
+    states0 = states_in_ref[:].reshape(1, N)
+    ptr0 = ptr_in_ref[0]
+    states, ptr = jax.lax.fori_loop(0, T, body, (states0, ptr0))
+    states_out_ref[:] = states.reshape(states_out_ref.shape)
+    ptr_out_ref[0] = ptr
+
+
+@functools.partial(jax.jit, static_argnames=('num_lanes', 'interpret'))
+def rans_decode_block(indexes, states, ptr, stream, cdfs, offsets,
+                      nsym, num_lanes=128, interpret=False):
+    """Decode one latent block's symbols on device.
+
+    Args:
+        indexes: (T, N) int32 scale indexes, row-major lane layout, padded
+        states:  (1, N) int32 lane states (uint32 bit patterns)
+        ptr:     int32 scalar — current word position in `stream`
+        stream:  (W,) int32 words (16-bit payloads)
+        cdfs:    (S, L) int32 sentinel-padded CDF rows (prepare_device_cdf)
+        offsets: (S,) int32 symbol offset per scale
+        nsym:    int32 scalar — number of valid symbols in this block
+    Returns:
+        (values (T, N) int32, new_states (1, N) int32, new_ptr int32)
+    """
+    T, N = indexes.shape
+    S, L = cdfs.shape
+    assert N == num_lanes
+    # byte-split tables/stream so every MXU gather is exact
+    cdf_lo = cdfs & 255
+    cdf_hi = _srl(cdfs, 8)
+    # pad the stream so every aligned 2048-word window read is in bounds
+    W = stream.shape[0]
+    W_pad = ((W + 2048 + 1023) // 1024) * 1024
+    stream = jnp.pad(stream, (0, W_pad - W))
+    stream_lo = stream & 255
+    stream_hi = _srl(stream, 8)
+    kernel = functools.partial(_decode_kernel, N=N, S=S, L=L)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # syms
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # states out
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # ptr out
+        ],
+    )
+    syms, new_states, new_ptr = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((T, N), jnp.int32),
+            jax.ShapeDtypeStruct((1, N), jnp.int32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+        ],
+        interpret=interpret,
+    )(jnp.asarray([nsym], jnp.int32), jnp.asarray([ptr], jnp.int32),
+      indexes, stream_lo, stream_hi, cdf_lo, cdf_hi, offsets, states)
+    return syms, new_states, new_ptr[0]
+
+
+def prepare_device_cdf(table):
+    """CDF table in kernel form: int32, padded tail entries set to a
+    (byte-splittable) sentinel larger than any 16-bit slot."""
+    cdfs = table.cdfs.astype(np.int64).copy()
+    S, L = cdfs.shape
+    col = np.arange(L)[None, :]
+    valid = col < table.cdf_lengths[:, None]
+    cdfs[~valid] = _SENTINEL
+    return cdfs.astype(np.int32), table.offsets.astype(np.int32)
+
+
+def pad_rows(arr, N, fill=0):
+    """Reshape a flat array to (T, N) rows, padding the tail."""
+    arr = np.asarray(arr).ravel()
+    T = max((arr.size + N - 1) // N, 1)
+    out = np.full((T * N,), fill, dtype=arr.dtype)
+    out[:arr.size] = arr
+    return out.reshape(T, N)
