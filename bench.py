@@ -66,6 +66,24 @@ def main():
     total_ms = enc_ms + dec_ms
     bpp = len(bits) * 8 / (H * W)
 
+    # device entropy coder (Pallas on-device rANS decode): same pipeline,
+    # two host transfers per image instead of two per latent block
+    model.compress_mode(coder='device')
+    bits_d = model.compress(im, lmb=lmb)
+    _ = model.decompress(bits_d)
+    dev_enc, dev_dec = [], []
+    for _ in range(n_iter):
+        t0 = time.perf_counter()
+        bits_d = model.compress(im, lmb=lmb)
+        t1 = time.perf_counter()
+        _ = model.decompress(bits_d)
+        t2 = time.perf_counter()
+        dev_enc.append(t1 - t0)
+        dev_dec.append(t2 - t1)
+    dev_enc_ms = float(np.mean(dev_enc) * 1e3)
+    dev_dec_ms = float(np.mean(dev_dec) * 1e3)
+    bpp_dev = len(bits_d) * 8 / (H * W)
+
     # pure device-compute reference: one fused forward program (no host
     # entropy-coding stage, no host-link transfers except the loss scalar)
     import jax.numpy as jnp
@@ -87,6 +105,9 @@ def main():
         'unit': 'ms',
         'vs_baseline': round(BASELINE_MS / total_ms, 3),
         'detail': {'encode_ms': round(enc_ms, 3), 'decode_ms': round(dec_ms, 3),
+                   'device_coder_encode_ms': round(dev_enc_ms, 3),
+                   'device_coder_decode_ms': round(dev_dec_ms, 3),
+                   'device_coder_bpp_overhead': round(bpp_dev - bpp, 4),
                    'device_forward_ms': round(fwd_ms, 3),
                    'bpp_random_image': round(bpp, 4),
                    'device': str(jax.devices()[0])},

@@ -172,6 +172,50 @@ class VRLVBlockSmall(VRLVBlockBase):
 MAX_LMB = 8192.0
 
 
+import functools as _functools
+
+
+@_functools.partial(jax.jit, static_argnames=('num_lanes',))
+def _prep_idx_rows(indexes, num_lanes):
+    """uint8 latent-shaped indexes -> (T, N) int32 rows for the decoder."""
+    flat = indexes.reshape(-1).astype(jnp.int32)
+    n = flat.shape[0]
+    T = max((n + num_lanes - 1) // num_lanes, 1)
+    flat = jnp.pad(flat, (0, T * num_lanes - n))
+    return flat.reshape(T, num_lanes)
+
+
+@_functools.partial(jax.jit, static_argnames=('shape',))
+def _take_reshape(syms_TN, shape):
+    n = 1
+    for v in shape:
+        n *= v
+    return syms_TN.reshape(-1)[:n].reshape(shape)
+
+
+@jax.jit
+def _widen_i32(x):
+    """Device-side int16 -> int32 widen. Keeps the host->device push small
+    while the downstream fuse program stays the SAME executable the encoder
+    used (int32 input) — encode/decode bit-exactness requires identical
+    compiled programs, not just identical values."""
+    return x.astype(jnp.int32)
+
+
+@jax.jit
+def _patch_escapes(z_syms, esc_pos, esc_val, start):
+    """Scatter true values for escape-coded positions (block-local)."""
+    shape = z_syms.shape
+    flat = z_syms.reshape(-1)
+    n = flat.shape[0]
+    rel = esc_pos - start
+    valid = (rel >= 0) & (rel < n) & (esc_pos >= 0)
+    rel_c = jnp.clip(rel, 0, n - 1)
+    cur = flat[rel_c]
+    flat = flat.at[rel_c].set(jnp.where(valid, esc_val, cur))
+    return flat.reshape(shape)
+
+
 class VariableRateLossyVAENet(nn.Module):
     """The full QARV graph (reference: qarv/model.py:169-363)."""
     enc_blocks: Tuple[Any, ...]
@@ -520,10 +564,23 @@ class QarvModel(VAEModelBase):
         return self._jit_e2e_fn
 
     # ------------------------------------------------------------- compression
-    def compress_mode(self, mode=True):
+    def compress_mode(self, mode=True, coder='host'):
+        """Prepare entropy coding. coder='host' uses the per-block C++ rANS
+        (rate-identical to the reference's layout); coder='device' uses the
+        N-lane interleaved stream decoded ON DEVICE by the Pallas kernel —
+        two host transfers per image instead of two per latent block, at a
+        small rate overhead (num_lanes * ~4 bytes per image)."""
+        assert coder in ('host', 'device')
         if mode:
             self._coder.update()
             self._build_stage_fns()
+            self.coder_kind = coder
+            if coder == 'device':
+                from lvae_tpu.ops.pallas import rans_decode as prd
+                cdf_np, off_np = prd.prepare_device_cdf(self._coder._cdf_table)
+                self._dev_cdfs = jnp.asarray(cdf_np)
+                self._dev_offs = jnp.asarray(off_np)
+                self.num_lanes = 128
         self.compressing = mode
 
     def _block_params(self, k):
@@ -632,23 +689,46 @@ class QarvModel(VAEModelBase):
         flat_idx = packed[2 * total:]
         sizes = [int(np.prod(s.shape)) for s in sym16_list]
         edges = np.cumsum([0] + sizes)
-        all_strings = []
+        syms_per_block, idx_per_block = [], []
         for i in range(self.num_latents):
             syms = flat_syms[edges[i]:edges[i + 1]].astype(np.int32)
             if (syms == -32768).any():  # sentinel: int16 was lossy here
                 syms = np.asarray(sym32_list[i]).reshape(-1)
             idx = flat_idx[edges[i]:edges[i + 1]].astype(np.int32)
-            all_strings.append(self._coder.compress_symbols(syms, idx))
-        string = coding.pack_byte_strings(all_strings)
+            syms_per_block.append(syms)
+            idx_per_block.append(idx)
         header1 = struct.pack('f', lmb_f32)
         header2 = struct.pack('3H', nB, nH, nW)
-        return header1 + header2 + string
+        if getattr(self, 'coder_kind', 'host') == 'device':
+            body = self._encode_interleaved(syms_per_block, idx_per_block)
+        else:
+            all_strings = [self._coder.compress_symbols(s, ix)
+                           for s, ix in zip(syms_per_block, idx_per_block)]
+            body = coding.pack_byte_strings(all_strings)
+        return header1 + header2 + body
+
+    def _encode_interleaved(self, syms_per_block, idx_per_block):
+        """N-lane interleaved payload (decoded on device):
+        [I n_words][H n_escapes][H num_lanes][states][words][escape pairs]."""
+        from lvae_tpu.ops import crans
+        N = self.num_lanes
+        states, words, escapes = crans.interleaved_encode(
+            np.concatenate(syms_per_block), np.concatenate(idx_per_block),
+            [s.size for s in syms_per_block],
+            self._coder._cdf_table, num_lanes=N)
+        out = struct.pack('<IHH', words.size, len(escapes), N)
+        out += states.astype('<u4').tobytes()
+        out += words.astype('<u2').tobytes()
+        out += escapes.astype('<i8').tobytes()
+        return out
 
     def decompress(self, string):
         """(reference: qarv/model.py:531-557)"""
         assert self.compressing, 'call compress_mode() first'
         lmb, string = struct.unpack('f', string[:4])[0], string[4:]
         (nB, nH, nW), string = struct.unpack('3H', string[:6]), string[6:]
+        if getattr(self, 'coder_kind', 'host') == 'device':
+            return self._decompress_device(lmb, nB, nH, nW, string)
         all_lv_strings = coding.unpack_byte_string(string)
         fns, params = self._stage_fns, self.params
         lmb_arr = jnp.full((nB,), lmb, jnp.float32)
@@ -665,16 +745,76 @@ class QarvModel(VAEModelBase):
                     all_lv_strings[str_i], idx_np[0]).reshape(idx_np[0].shape)
                 str_i += 1
                 # int16 halves the host->device push; exact unless a decoded
-                # value exceeds the range (kept exact via int32 fallback)
+                # value exceeds the range (kept exact via int32 fallback);
+                # widened ON DEVICE so fuse stays the encoder's executable
                 if np.abs(syms).max(initial=0) < 32000:
-                    syms = syms.astype(np.int16)
+                    syms_dev = _widen_i32(jnp.asarray(syms.astype(np.int16)))
+                else:
+                    syms_dev = jnp.asarray(syms.astype(np.int32))
                 feature = fns['fuse'](block, bp, f_mid, pm,
-                                      jnp.asarray(syms)[None], emb)
+                                      syms_dev[None], emb)
             elif isinstance(block, common.CompressionStopFlag):
                 continue
             else:
                 feature = fns['plain'](block, bp, feature, emb)
         assert str_i == len(all_lv_strings), f'{str_i=} != {len(all_lv_strings)=}'
+        return np.asarray(fns['finish'](feature), dtype=np.float32)
+
+    def _decompress_device(self, lmb, nB, nH, nW, payload):
+        """Fully on-device decode: ONE bitstream push, ONE image pull.
+        Entropy decoding runs in the Pallas kernel
+        (ops/pallas/rans_decode.py); lane states persist across blocks."""
+        from lvae_tpu.ops.pallas import rans_decode as prd
+        assert nB == 1
+        N = self.num_lanes
+        n_words, n_esc, lanes = struct.unpack('<IHH', payload[:8])
+        assert lanes == N, f'stream lanes {lanes} != configured {N}'
+        off = 8
+        states = np.frombuffer(payload[off:off + 4 * N], '<u4'); off += 4 * N
+        words = np.frombuffer(payload[off:off + 2 * n_words], '<u2')
+        off += 2 * n_words
+        escapes = np.frombuffer(payload[off:off + 16 * n_esc],
+                                '<i8').reshape(-1, 2)
+
+        fns, params = self._stage_fns, self.params
+        stream_d = jnp.asarray(words.astype(np.int32))
+        states_d = jnp.asarray(states.view(np.int32).reshape(1, N).copy())
+        if n_esc:
+            kpad = max(8, 1 << (int(n_esc - 1).bit_length()))
+            esc_pos = np.full(kpad, -1, np.int32)
+            esc_val = np.zeros(kpad, np.int32)
+            esc_pos[:n_esc] = escapes[:, 0]
+            esc_val[:n_esc] = escapes[:, 1]
+            esc_pos_d = jnp.asarray(esc_pos)
+            esc_val_d = jnp.asarray(esc_val)
+        ptr = jnp.int32(0)
+        lmb_arr = jnp.full((nB,), lmb, jnp.float32)
+        emb = fns['emb'](params['lmb_embed_0'], params['lmb_embed_1'], lmb_arr)
+        feature = jnp.broadcast_to(params['bias'],
+                                   (nB, nH, nW, params['bias'].shape[-1]))
+        gstart = 0
+        for k, block in enumerate(self.net.dec_blocks):
+            bp = self._block_params(k)
+            if getattr(block, 'is_latent_block', False):
+                f_mid, pm, pv, indexes = fns['prior'](block, bp, feature, emb)
+                zshape = tuple(int(v) for v in indexes.shape)
+                nsym = int(np.prod(zshape))
+                idx_rows = _prep_idx_rows(indexes, N)
+                syms_TN, states_d, ptr = prd.rans_decode_block(
+                    idx_rows, states_d, ptr, stream_d,
+                    self._dev_cdfs, self._dev_offs, jnp.int32(nsym),
+                    num_lanes=N,
+                    interpret=jax.default_backend() == 'cpu')
+                z_syms = _take_reshape(syms_TN, zshape)
+                if n_esc:
+                    z_syms = _patch_escapes(z_syms, esc_pos_d, esc_val_d,
+                                            jnp.int32(gstart))
+                feature = fns['fuse'](block, bp, f_mid, pm, z_syms, emb)
+                gstart += nsym
+            elif isinstance(block, common.CompressionStopFlag):
+                continue
+            else:
+                feature = fns['plain'](block, bp, feature, emb)
         return np.asarray(fns['finish'](feature), dtype=np.float32)
 
     def compress_file(self, img_path, output_path, lmb=None):

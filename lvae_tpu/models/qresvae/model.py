@@ -357,6 +357,13 @@ class HierarchicalVAENet(nn.Module):
 log2_e = math.log2(math.e)
 
 
+@jax.jit
+def _widen_i32(x):
+    """int16 -> int32 on device (see qarv model: fuse must stay the
+    encoder's int32 executable for bit-exactness)."""
+    return x.astype(jnp.int32)
+
+
 class QresModel(VAEModelBase):
     """User-facing handle mirroring the reference HierarchicalVAE API
     (reference: qresvae/model.py:457-725)."""
@@ -645,10 +652,13 @@ class QresModel(VAEModelBase):
                 syms = np.stack([
                     self._block_coder.decompress_symbols(strs_batch[b], idx_np[b])
                     .reshape(idx_np[b].shape) for b in range(nB)])
+                # int16 push, widened on device so fuse stays the SAME
+                # executable the encoder used (bit-exactness)
                 if np.abs(syms).max(initial=0) < 32000:
-                    syms = syms.astype(np.int16)  # halve the H2D push
-                feature = fns['fuse'](block, bp, feature_mid, pm,
-                                      jnp.asarray(syms))
+                    syms_dev = _widen_i32(jnp.asarray(syms.astype(np.int16)))
+                else:
+                    syms_dev = jnp.asarray(syms.astype(np.int32))
+                feature = fns['fuse'](block, bp, feature_mid, pm, syms_dev)
             else:
                 feature = fns['plain'](block, bp, feature)
         assert str_i == len(compressed_object) - 1

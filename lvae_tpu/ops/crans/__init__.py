@@ -58,8 +58,48 @@ def _load():
             ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p,
         ]
+        lib.rans_interleaved_encode.restype = ctypes.c_int64
+        lib.rans_interleaved_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p,
+        ]
         _lib = lib
     return _lib
+
+
+def interleaved_encode(values, indexes, block_sizes, table: CdfTable,
+                       num_lanes=128, escapes_capacity=4096):
+    """C++ N-lane interleaved encode (bit-exact with
+    ops/rans_interleaved.InterleavedEncoder). Returns
+    (states uint32[N], words uint16[W], escapes int64[K,2])."""
+    lib = _load()
+    v, vp = _as_c(np.ravel(values), np.int32)
+    ix, ixp = _as_c(np.ravel(indexes), np.int32)
+    bs, bsp = _as_c(np.ravel(block_sizes), np.int64)
+    assert v.size == ix.size == int(bs.sum())
+    c, cp = _as_c(table.cdfs, np.uint32)
+    ln, lnp = _as_c(table.cdf_lengths, np.int32)
+    off, offp = _as_c(table.offsets, np.int32)
+    states = np.empty(num_lanes, np.uint32)
+    words_cap = int(v.size * 3 + 64)
+    words = np.empty(words_cap, np.uint16)
+    escapes = np.empty((escapes_capacity, 2), np.int64)
+    n_esc = np.zeros(1, np.int64)
+    n_words = lib.rans_interleaved_encode(
+        vp, ixp, bsp, bs.size, cp, lnp, offp,
+        table.num_scales, table.max_cdf_length, num_lanes,
+        states.ctypes.data_as(ctypes.c_void_p),
+        words.ctypes.data_as(ctypes.c_void_p), words_cap,
+        escapes.ctypes.data_as(ctypes.c_void_p), escapes_capacity,
+        n_esc.ctypes.data_as(ctypes.c_void_p))
+    assert n_words >= 0, 'interleaved encode capacity error'
+    return states, words[:n_words].copy(), escapes[:int(n_esc[0])].copy()
 
 
 def is_available() -> bool:

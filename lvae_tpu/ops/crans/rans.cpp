@@ -196,4 +196,84 @@ int64_t rans_decode_with_indexes(
   return n;
 }
 
+// ---------------------------------------------------------------------------
+// N-lane interleaved encoder ("rans16" format, decoded on-device by the
+// Pallas kernel in lvae_tpu/ops/pallas/rans_decode.py). Must match the numpy
+// oracle in lvae_tpu/ops/rans_interleaved.py bit-exactly.
+//   * 32-bit lane states in [2^16, 2^32), 16-bit word renormalization
+//   * lane assignment restarts at 0 for every block
+//   * escapes recorded out-of-band as (global position, value) pairs while
+//     the escape bin is coded in-band
+// ---------------------------------------------------------------------------
+
+// Returns the number of 16-bit words written, or -1 on capacity error.
+int64_t rans_interleaved_encode(
+    const int32_t* values, const int32_t* indexes,
+    const int64_t* block_sizes, int64_t num_blocks,
+    const uint32_t* cdfs, const int32_t* cdf_lengths, const int32_t* offsets,
+    int64_t num_scales, int64_t max_len, int64_t num_lanes,
+    uint32_t* out_states,            // (num_lanes,)
+    uint16_t* out_words, int64_t words_capacity,
+    int64_t* out_escapes, int64_t escapes_capacity,   // (cap, 2) row-major
+    int64_t* out_n_escapes) {
+  (void)num_scales;
+  constexpr uint32_t kL16 = 1u << 16;
+
+  int64_t n = 0;
+  for (int64_t b = 0; b < num_blocks; ++b) n += block_sizes[b];
+
+  // block-local lane for every global position
+  std::vector<int32_t> lanes(static_cast<size_t>(n));
+  {
+    int64_t pos = 0;
+    for (int64_t b = 0; b < num_blocks; ++b) {
+      for (int64_t j = 0; j < block_sizes[b]; ++j)
+        lanes[pos++] = static_cast<int32_t>(j % num_lanes);
+    }
+  }
+
+  std::vector<uint32_t> states(static_cast<size_t>(num_lanes), kL16);
+  std::vector<uint16_t> words_rev;
+  words_rev.reserve(static_cast<size_t>(n / 2 + 64));
+  int64_t n_esc = 0;
+
+  for (int64_t i = n - 1; i >= 0; --i) {
+    const int32_t lane = lanes[static_cast<size_t>(i)];
+    const int32_t idx = indexes[i];
+    const uint32_t* row = cdfs + static_cast<int64_t>(idx) * max_len;
+    const int64_t max_symbol = cdf_lengths[idx] - 2;
+    int64_t sym = static_cast<int64_t>(values[i]) - offsets[idx];
+    if (!(sym >= 0 && sym < max_symbol)) {
+      if (n_esc >= escapes_capacity) return -1;
+      // escapes recorded ascending by position: fill from the back
+      out_escapes[2 * (escapes_capacity - 1 - n_esc)] = i;
+      out_escapes[2 * (escapes_capacity - 1 - n_esc) + 1] = values[i];
+      ++n_esc;
+      sym = max_symbol;
+    }
+    const uint32_t start = row[sym];
+    const uint32_t freq = row[sym + 1] - start;
+    uint32_t st = states[static_cast<size_t>(lane)];
+    if (st >= (freq << 16)) {
+      words_rev.push_back(static_cast<uint16_t>(st & 0xFFFFu));
+      st >>= 16;
+    }
+    states[static_cast<size_t>(lane)] =
+        ((st / freq) << kPrecision) + (st % freq) + start;
+  }
+
+  const int64_t n_words = static_cast<int64_t>(words_rev.size());
+  if (n_words > words_capacity) return -1;
+  for (int64_t j = 0; j < n_words; ++j)
+    out_words[j] = words_rev[static_cast<size_t>(n_words - 1 - j)];
+  std::memcpy(out_states, states.data(), sizeof(uint32_t) * num_lanes);
+  // move escapes to the front of the buffer (already position-ascending)
+  if (n_esc > 0 && n_esc < escapes_capacity) {
+    std::memmove(out_escapes, out_escapes + 2 * (escapes_capacity - n_esc),
+                 sizeof(int64_t) * 2 * n_esc);
+  }
+  *out_n_escapes = n_esc;
+  return n_words;
+}
+
 }  // extern "C"

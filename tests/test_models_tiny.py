@@ -180,3 +180,20 @@ def test_registry_lists_reference_models():
                      'rd_model_base', 'rd_ablation_c64_l5',
                      'rd_ablation_base_nosmooth']:
         assert required in names, f'missing registered model {required}'
+
+
+def test_qarv_device_coder_roundtrip(qarv_model, image):
+    """On-device (Pallas) entropy decode must reproduce the host-coder
+    reconstruction bit-for-bit (same symbols, same fuse executables)."""
+    m = qarv_model
+    m.compress_mode(coder='host')
+    bits_host = m.compress(image, lmb=300.0)
+    rec_host = m.decompress(bits_host)
+    m.compress_mode(coder='device')
+    bits_dev = m.compress(image, lmb=300.0)
+    rec_dev = m.decompress(bits_dev)
+    assert np.array_equal(rec_host, rec_dev), \
+        f'device-coder mismatch: {np.abs(rec_host - rec_dev).max()}'
+    # device stream should be close in size (N*4B state overhead)
+    assert abs(len(bits_dev) - len(bits_host)) < 128 * 4 + 256
+    m.compress_mode(coder='host')  # restore for other tests
