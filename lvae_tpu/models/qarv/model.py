@@ -716,7 +716,7 @@ class QarvModel(VAEModelBase):
             np.concatenate(syms_per_block), np.concatenate(idx_per_block),
             [s.size for s in syms_per_block],
             self._coder._cdf_table, num_lanes=N)
-        out = struct.pack('<IHH', words.size, len(escapes), N)
+        out = struct.pack('<IIH', words.size, len(escapes), N)
         out += states.astype('<u4').tobytes()
         out += words.astype('<u2').tobytes()
         out += escapes.astype('<i8').tobytes()
@@ -767,9 +767,9 @@ class QarvModel(VAEModelBase):
         from lvae_tpu.ops.pallas import rans_decode as prd
         assert nB == 1
         N = self.num_lanes
-        n_words, n_esc, lanes = struct.unpack('<IHH', payload[:8])
+        n_words, n_esc, lanes = struct.unpack('<IIH', payload[:10])
         assert lanes == N, f'stream lanes {lanes} != configured {N}'
-        off = 8
+        off = 10
         states = np.frombuffer(payload[off:off + 4 * N], '<u4'); off += 4 * N
         words = np.frombuffer(payload[off:off + 2 * n_words], '<u2')
         off += 2 * n_words

@@ -74,7 +74,7 @@ def _load():
 
 
 def interleaved_encode(values, indexes, block_sizes, table: CdfTable,
-                       num_lanes=128, escapes_capacity=4096):
+                       num_lanes=128, escapes_capacity=None):
     """C++ N-lane interleaved encode (bit-exact with
     ops/rans_interleaved.InterleavedEncoder). Returns
     (states uint32[N], words uint16[W], escapes int64[K,2])."""
@@ -89,6 +89,8 @@ def interleaved_encode(values, indexes, block_sizes, table: CdfTable,
     states = np.empty(num_lanes, np.uint32)
     words_cap = int(v.size * 3 + 64)
     words = np.empty(words_cap, np.uint16)
+    if escapes_capacity is None:
+        escapes_capacity = int(v.size) + 16  # worst case: every symbol escapes
     escapes = np.empty((escapes_capacity, 2), np.int64)
     n_esc = np.zeros(1, np.int64)
     n_words = lib.rans_interleaved_encode(
