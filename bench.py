@@ -40,8 +40,12 @@ def main():
 
     rng = np.random.default_rng(0)
     H, W = 512, 768
-    im = rng.uniform(0.0, 1.0, (1, H, W, 3)).astype(np.float32)
-    im = np.round(im * 255) / 255
+    # natural-image-like statistics (smooth, limited bandwidth) — white
+    # noise would make the latent residuals pathological
+    from scipy.ndimage import gaussian_filter
+    im = gaussian_filter(rng.uniform(0, 1, (H, W, 3)), sigma=(4, 4, 0))
+    im = (im - im.min()) / (im.max() - im.min() + 1e-9)
+    im = (np.round(im * 255) / 255).astype(np.float32)[None]
 
     lmb = 512.0
 
