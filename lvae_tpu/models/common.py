@@ -195,8 +195,11 @@ class ConvNeXtBlockAdaLN(nn.Module):
         x = nn.Conv(dim, (self.kernel_size, self.kernel_size),
                     padding=[(pad, pad), (pad, pad)], feature_group_count=dim,
                     bias_init=nn.initializers.zeros_init(), name='conv_dw')(x)
+        in_dtype = x.dtype
+        # LN statistics in f32 (bf16 variance is too noisy), output back in
+        # the compute dtype so bf16 runs stay bf16
         x = nn.LayerNorm(epsilon=1e-6, use_bias=False, use_scale=False,
-                         name='norm')(x)
+                         name='norm')(x.astype(jnp.float32)).astype(in_dtype)
         # AdaLN: per-sample shift/scale from the conditioning embedding
         e = gelu(emb)
         e = nn.Dense(2 * dim, name='embedding_layer')(e)
@@ -230,7 +233,9 @@ class MyConvNeXtBlock(nn.Module):
                     padding=[(pad, pad), (pad, pad)],
                     feature_group_count=self.dim,
                     bias_init=nn.initializers.zeros_init(), name='conv_dw')(x)
-        x = nn.LayerNorm(epsilon=1e-6, name='norm')(x)
+        in_dtype = x.dtype
+        x = nn.LayerNorm(epsilon=1e-6, name='norm')(
+            x.astype(jnp.float32)).astype(in_dtype)
         x = Mlp(int(self.mlp_ratio * self.dim), self.dim, name='mlp')(x)
         gamma = self.param('gamma', nn.initializers.constant(self.ls_init_value),
                            (self.dim,))

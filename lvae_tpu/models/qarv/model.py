@@ -119,7 +119,7 @@ class VRLVBlockBase(nn.Module):
         qm = self.posterior_qm(feature, enc_feature, emb)
         if training:
             noise = jax.random.uniform(self.make_rng('noise'), qm.shape,
-                                       minval=-0.5, maxval=0.5)
+                                       dtype=qm.dtype, minval=-0.5, maxval=0.5)
             z = qm + noise
             kl = -ec.gaussian_log_prob_mass(pm, pv, z, 1.0, 1e-6)
         else:
@@ -276,7 +276,9 @@ class VariableRateLossyVAENet(nn.Module):
     def forward_end2end(self, im, lmb, training: bool = False,
                         get_latent: bool = False):
         x = self.preprocess_input(im)
-        emb = self.get_lmb_embedding(lmb)
+        # keep the conditioning embedding in the compute dtype, otherwise
+        # every AdaLN block silently re-promotes activations to f32
+        emb = self.get_lmb_embedding(lmb).astype(x.dtype)
         _, enc_features = self.encode(x, emb)
         nB, xH, xW, _ = x.shape
         feature = self.seed_feature(nB, xH // self.max_stride, xW // self.max_stride)
@@ -375,18 +377,33 @@ class QarvModel(VAEModelBase):
         u = jax.random.uniform(rng, (n,), minval=lo, maxval=hi)
         return jnp.power(u, p)
 
-    def loss_and_stats(self, params, im, rng, lmb=None, training=True):
+    def loss_and_stats(self, params, im, rng, lmb=None, training=True,
+                       compute_dtype=None):
         """Pure loss function (jit/pjit-able). Samples per-image lambda when
-        not provided (reference: qarv/model.py:317-363)."""
+        not provided (reference: qarv/model.py:317-363).
+
+        compute_dtype='bfloat16' runs the conv stacks in bf16 (the TPU
+        mixed-precision analog of the reference's AMP, trainer.py:361; no
+        loss scaling needed on TPU). Master params stay float32 in the
+        optimizer; the probability-mass rate term is float32-forced inside
+        entropy_coding regardless."""
         nB, H, W, C = im.shape
         rng_lmb, rng_noise = jax.random.split(rng)
         if lmb is None:
             lmb = self.sample_lmb(rng_lmb, nB)
+        net_params, net_im = params, im
+        if compute_dtype is not None:
+            cd = jnp.dtype(compute_dtype)
+            net_params = jax.tree.map(
+                lambda x: x.astype(cd) if x.dtype == jnp.float32 else x, params)
+            net_im = im.astype(cd)
         x_hat, stats_all = self.net.apply(
-            {'params': params}, im, lmb, training, False,
+            {'params': net_params}, net_im, lmb, training, False,
             method=self.net.forward_end2end, rngs={'noise': rng_noise})
+        x_hat = x_hat.astype(jnp.float32)
         ndims = float(C * H * W)
-        kl = sum(jnp.sum(st['kl'], axis=(1, 2, 3)) for st in stats_all) / ndims
+        kl = sum(jnp.sum(st['kl'].astype(jnp.float32), axis=(1, 2, 3))
+                 for st in stats_all) / ndims
         x_target = (im - 0.5) * 2.0
         distortion = jnp.mean(jnp.square(x_hat - x_target), axis=(1, 2, 3))
         loss = jnp.mean(kl + lmb * distortion)

@@ -207,7 +207,7 @@ class QLatentBlock(nn.Module):
         qm = self.posterior_qm(feature, enc_feature)
         if training:
             noise = jax.random.uniform(self.make_rng('noise'), qm.shape,
-                                       minval=-0.5, maxval=0.5)
+                                       dtype=qm.dtype, minval=-0.5, maxval=0.5)
             z_sample = qm + noise
             kl = -ec.gaussian_log_prob_mass(pm, pv, z_sample, 1.0, 1e-6)
         else:
@@ -382,14 +382,26 @@ class QresModel(VAEModelBase):
         self.compressing = False
 
     # ------------------------------------------------------------------ train
-    def loss_and_stats(self, params, im, rng, training=True):
-        """Pure loss function (used by the trainer; jit/pjit-able)."""
+    def loss_and_stats(self, params, im, rng, training=True,
+                       compute_dtype=None):
+        """Pure loss function (used by the trainer; jit/pjit-able).
+        compute_dtype='bfloat16' runs the conv stacks in bf16 (TPU mixed
+        precision); master params stay f32, rate term stays f32."""
+        net_params, net_im = params, im
+        if compute_dtype is not None:
+            cd = jnp.dtype(compute_dtype)
+            net_params = jax.tree.map(
+                lambda x: x.astype(cd) if x.dtype == jnp.float32 else x, params)
+            net_im = im.astype(cd)
         out_loss, x_hat, stats_all = self.net.apply(
-            {'params': params}, im, training, False,
+            {'params': net_params}, net_im, training, False,
             method=self.net.forward, rngs={'noise': rng})
+        x_hat = x_hat.astype(jnp.float32)
+        out_loss = out_loss.astype(jnp.float32)
         nB, H, W, C = im.shape
         ndims = C * H * W
-        kl_divs = [jnp.sum(st['kl'], axis=(1, 2, 3)) for st in stats_all]
+        kl_divs = [jnp.sum(st['kl'].astype(jnp.float32), axis=(1, 2, 3))
+                   for st in stats_all]
         kl = sum(kl_divs) / ndims
         loss = jnp.mean(kl + out_loss)
         im_hat = jnp.clip(x_hat, -1.0, 1.0) * 0.5 + 0.5

@@ -123,8 +123,9 @@ class LatentVariableBlock(nn.Module):
                       get_latent: bool = False):
         feature, pm, pv = self.transform_prior(feature, emb)
         qm, qv = self.transform_posterior(feature, enc_feature, emb)
-        kl = gaussian_kl(qm, qv, pm, pv)
-        eps = jax.random.normal(self.make_rng('noise'), qm.shape)
+        kl = gaussian_kl(qm.astype(jnp.float32), qv.astype(jnp.float32),
+                         pm.astype(jnp.float32), pv.astype(jnp.float32))
+        eps = jax.random.normal(self.make_rng('noise'), qm.shape, dtype=qm.dtype)
         z = qm + qv * eps
         feature = feature + self.z_proj(z)
         feature = self.resnet_end(feature, emb)
@@ -199,7 +200,7 @@ class RDVAENet(nn.Module):
     def forward_end2end(self, im, lmb, training: bool = True,
                         get_latents: bool = False):
         x = (im + self.im_shift) * self.im_scale
-        emb = self.get_lmb_embedding(lmb)
+        emb = self.get_lmb_embedding(lmb).astype(x.dtype)
         enc_features = self.encode(x, emb)
         min_res = min(enc_features.keys())
         f0 = enc_features[min_res]
@@ -262,16 +263,25 @@ class RDModel(VAEModelBase):
         lo, hi = math.log(low), math.log(high)
         return jnp.exp(jax.random.uniform(rng, (n,), minval=lo, maxval=hi))
 
-    def loss_and_stats(self, params, im, rng, lmb=None, training=True):
+    def loss_and_stats(self, params, im, rng, lmb=None, training=True,
+                       compute_dtype=None):
         nB, H, W, C = im.shape
         rng_lmb, rng_noise = jax.random.split(rng)
         if lmb is None:
             lmb = self.sample_lmb(rng_lmb, nB)
+        net_params, net_im = params, im
+        if compute_dtype is not None:
+            cd = jnp.dtype(compute_dtype)
+            net_params = jax.tree.map(
+                lambda x: x.astype(cd) if x.dtype == jnp.float32 else x, params)
+            net_im = im.astype(cd)
         x_hat, stats_all = self.net.apply(
-            {'params': params}, im, lmb, training, False,
+            {'params': net_params}, net_im, lmb, training, False,
             method=self.net.forward_end2end, rngs={'noise': rng_noise})
+        x_hat = x_hat.astype(jnp.float32)
         ndims = float(C * H * W)
-        kl = sum(jnp.sum(st['kl'], axis=(1, 2, 3)) for st in stats_all) / ndims
+        kl = sum(jnp.sum(st['kl'].astype(jnp.float32), axis=(1, 2, 3))
+                 for st in stats_all) / ndims
         x_target = (im - 0.5) * 2.0
         distortion = jnp.mean(jnp.square(x_hat - x_target), axis=(1, 2, 3))
         loss = jnp.mean(kl + lmb * distortion)

@@ -171,8 +171,13 @@ class BaseTrainingWrapper:
             logging.info('optimizer parameter groups: ' + ', '.join(
                 f'[{k}: {len(v)}]' for k, v in groups.items()))
 
+        # cfg.amp enables bf16 compute (TPU mixed precision; master params
+        # and the probability-mass rate term stay float32)
+        compute_dtype = 'bfloat16' if getattr(cfg, 'amp', False) else None
+
         def loss_fn(params, batch, rng):
-            return self.model.loss_and_stats(params, batch, rng, training=True)
+            return self.model.loss_and_stats(params, batch, rng, training=True,
+                                             compute_dtype=compute_dtype)
 
         step_fn = make_train_step(loss_fn, tx, accum_num=cfg.accum_num,
                                   grad_clip=cfg.grad_clip, wdecay=cfg.wdecay,

@@ -55,11 +55,12 @@ def parse_args():
     parser.add_argument('--ema_warmup', type=int, default=10_000)
     # device setting
     parser.add_argument('--fixseed',    action=argparse.BooleanOptionalAction, default=True)
+    # bf16 mixed-precision compute (TPU analog of the reference's --amp)
+    parser.add_argument('--amp',        action=argparse.BooleanOptionalAction, default=False)
     parser.add_argument('--workers',    type=int, default=6)
     cfg = parser.parse_args()
 
     cfg.wdecay = 0.0
-    cfg.amp = False
     cfg.wandb_log_interval = 100
     cfg.model_log_interval = 2000
     cfg.model_val_interval = 2000
