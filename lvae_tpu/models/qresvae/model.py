@@ -516,13 +516,24 @@ class QresModel(VAEModelBase):
         return im_sample
 
     # ---------------------------------------------------------- compression
-    def compress_mode(self, mode=True):
-        """Build CDF tables (reference: qresvae/model.py:640-647)."""
+    def compress_mode(self, mode=True, coder='host'):
+        """Build CDF tables (reference: qresvae/model.py:640-647).
+        coder='device' uses the N-lane interleaved stream decoded on device
+        by the Pallas kernel (see qarv model docstring); nB must be 1."""
+        assert coder in ('host', 'device')
         if mode:
             self._block_coder.update()
             if self._head_coder is not None:
                 self._head_coder.update()
             self._build_stage_fns()
+            self.coder_kind = coder
+            if coder == 'device':
+                from lvae_tpu.ops.pallas import rans_decode as prd
+                cdf_np, off_np = prd.prepare_device_cdf(
+                    self._block_coder._cdf_table)
+                self._dev_cdfs = jnp.asarray(cdf_np)
+                self._dev_offs = jnp.asarray(off_np)
+                self.num_lanes = 128
         self.compressing = mode
 
     def _block_params(self, k):
@@ -617,17 +628,36 @@ class QresModel(VAEModelBase):
         flat_idx = packed[2 * total:]
         sizes = [int(np.prod(s)) for s in shapes]
         edges = np.cumsum([0] + sizes)
-        compressed = []
-        for i, shape in enumerate(shapes):
+        syms_per_block, idx_per_block = [], []
+        for i in range(len(shapes)):
             syms = flat_syms[edges[i]:edges[i + 1]].astype(np.int32)
             if (syms == -32768).any():  # sentinel: int16 was lossy here
                 syms = np.asarray(sym32_list[i]).reshape(-1)
             idx = flat_idx[edges[i]:edges[i + 1]].astype(np.int32)
-            syms = syms.reshape(nB, -1)
-            idx = idx.reshape(nB, -1)
-            strs_batch = [self._block_coder.compress_symbols(syms[b], idx[b])
-                          for b in range(nB)]
-            compressed.append(strs_batch)
+            syms_per_block.append(syms)
+            idx_per_block.append(idx)
+        compressed = []
+        if getattr(self, 'coder_kind', 'host') == 'device':
+            assert nB == 1, 'device coder supports single images'
+            from lvae_tpu.ops import crans
+            states, words, escapes = crans.interleaved_encode(
+                np.concatenate(syms_per_block), np.concatenate(idx_per_block),
+                [s.size for s in syms_per_block],
+                self._block_coder._cdf_table, num_lanes=self.num_lanes)
+            import struct as _struct
+            payload = _struct.pack('<IIH', words.size, len(escapes),
+                                   self.num_lanes)
+            payload += states.astype('<u4').tobytes()
+            payload += words.astype('<u2').tobytes()
+            payload += escapes.astype('<i8').tobytes()
+            compressed.append(payload)
+        else:
+            for syms, idx in zip(syms_per_block, idx_per_block):
+                syms = syms.reshape(nB, -1)
+                idx = idx.reshape(nB, -1)
+                compressed.append([
+                    self._block_coder.compress_symbols(syms[b], idx[b])
+                    for b in range(nB)])
         compressed.append(tuple(int(v) for v in f0.shape))
         if self.lossless:
             x_tgt = (im - 0.5) * 2.0
@@ -653,27 +683,74 @@ class QresModel(VAEModelBase):
         nB, fH, fW, _ = smallest_shape
         feature = jnp.broadcast_to(
             params['bias'], (nB, fH, fW, params['bias'].shape[-1]))
+        device_mode = getattr(self, 'coder_kind', 'host') == 'device'
+        if device_mode:
+            import struct as _struct
+            from lvae_tpu.models.qarv.model import (_prep_idx_rows,
+                                                    _take_reshape,
+                                                    _patch_escapes)
+            from lvae_tpu.ops.pallas import rans_decode as prd
+            payload = compressed_object[0]
+            N = self.num_lanes
+            n_words, n_esc, lanes = _struct.unpack('<IIH', payload[:10])
+            assert lanes == N
+            off = 10
+            d_states = np.frombuffer(payload[off:off + 4 * N], '<u4')
+            off += 4 * N
+            d_words = np.frombuffer(payload[off:off + 2 * n_words], '<u2')
+            off += 2 * n_words
+            d_escapes = np.frombuffer(payload[off:off + 16 * n_esc],
+                                      '<i8').reshape(-1, 2)
+            stream_d = jnp.asarray(d_words.astype(np.int32))
+            states_d = jnp.asarray(d_states.view(np.int32).reshape(1, N).copy())
+            ptr = jnp.int32(0)
+            if n_esc:
+                kpad = max(8, 1 << int(n_esc - 1).bit_length())
+                e_pos = np.full(kpad, -1, np.int32)
+                e_val = np.zeros(kpad, np.int32)
+                e_pos[:n_esc] = d_escapes[:, 0]
+                e_val[:n_esc] = d_escapes[:, 1]
+                e_pos_d, e_val_d = jnp.asarray(e_pos), jnp.asarray(e_val)
+            gstart = 0
         str_i = 0
         for k, block in enumerate(self.net.dec_blocks):
             bp = self._block_params(k)
             if getattr(block, 'is_latent_block', False):
                 feature_mid, pm, pv, indexes = fns['prior'](block, bp, feature)
-                idx_np = np.asarray(indexes)
-                strs_batch = compressed_object[str_i]
-                str_i += 1
-                syms = np.stack([
-                    self._block_coder.decompress_symbols(strs_batch[b], idx_np[b])
-                    .reshape(idx_np[b].shape) for b in range(nB)])
-                # int16 push, widened on device so fuse stays the SAME
-                # executable the encoder used (bit-exactness)
-                if np.abs(syms).max(initial=0) < 32000:
-                    syms_dev = _widen_i32(jnp.asarray(syms.astype(np.int16)))
+                if device_mode:
+                    zshape = tuple(int(v) for v in indexes.shape)
+                    nsym = int(np.prod(zshape))
+                    idx_rows = _prep_idx_rows(indexes, N)
+                    syms_TN, states_d, ptr = prd.rans_decode_block(
+                        idx_rows, states_d, ptr, stream_d,
+                        self._dev_cdfs, self._dev_offs, jnp.int32(nsym),
+                        num_lanes=N,
+                        interpret=jax.default_backend() == 'cpu')
+                    syms_dev = _take_reshape(syms_TN, zshape)
+                    if n_esc:
+                        syms_dev = _patch_escapes(syms_dev, e_pos_d, e_val_d,
+                                                  jnp.int32(gstart))
+                    gstart += nsym
+                    str_i = 0  # single payload entry consumed at the end
                 else:
-                    syms_dev = jnp.asarray(syms.astype(np.int32))
+                    idx_np = np.asarray(indexes)
+                    strs_batch = compressed_object[str_i]
+                    str_i += 1
+                    syms = np.stack([
+                        self._block_coder.decompress_symbols(
+                            strs_batch[b], idx_np[b]).reshape(idx_np[b].shape)
+                        for b in range(nB)])
+                    # int16 push, widened on device so fuse stays the SAME
+                    # executable the encoder used (bit-exactness)
+                    if np.abs(syms).max(initial=0) < 32000:
+                        syms_dev = _widen_i32(jnp.asarray(syms.astype(np.int16)))
+                    else:
+                        syms_dev = jnp.asarray(syms.astype(np.int32))
                 feature = fns['fuse'](block, bp, feature_mid, pm, syms_dev)
             else:
                 feature = fns['plain'](block, bp, feature)
-        assert str_i == len(compressed_object) - 1
+        if not device_mode:
+            assert str_i == len(compressed_object) - 1
         if self.lossless:
             pm, plogv = jax.device_get(self.net.apply(
                 {'params': params}, feature, method=self.net.out_codec_tensors))

@@ -197,3 +197,17 @@ def test_qarv_device_coder_roundtrip(qarv_model, image):
     # device stream should be close in size (N*4B state overhead)
     assert abs(len(bits_dev) - len(bits_host)) < 128 * 4 + 256
     m.compress_mode(coder='host')  # restore for other tests
+
+
+def test_qres_device_coder_roundtrip(qres_model, image):
+    """QRes device entropy decode must match the host-coder reconstruction."""
+    m = qres_model
+    m.compress_mode(coder='host')
+    obj_host = m.compress(image)
+    rec_host = m.decompress(obj_host)
+    m.compress_mode(coder='device')
+    obj_dev = m.compress(image)
+    assert len(obj_dev) == 2  # [payload, smallest_shape]
+    rec_dev = m.decompress(obj_dev)
+    assert np.array_equal(rec_host, rec_dev)
+    m.compress_mode(coder='host')
