@@ -49,12 +49,11 @@ def main():
 
     lmb = 512.0
 
-    # warmup: compile all stage programs (first call is slow)
-    for _ in range(2):
-        bits = model.compress(im, lmb=lmb)
-        _ = model.decompress(bits)
+    # warmup: compile all stage programs + prepay the first-transfer stall
+    bits = model.compress(im, lmb=lmb)
+    _ = model.decompress(bits)
 
-    n_iter = 5
+    n_iter = 3
     enc_times, dec_times = [], []
     for _ in range(n_iter):
         t0 = time.perf_counter()
