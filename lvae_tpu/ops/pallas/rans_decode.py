@@ -87,27 +87,35 @@ def _decode_kernel(nsym_ref, ptr_in_ref,          # scalar prefetch (SMEM)
         new_st = freq_i * _srl(st, 16) + slot - start                  # (N,1)
         flags = jnp.logical_and(_srl(new_st, 16) == 0, active_col)
         flags_f = flags.astype(jnp.float32)
-        # inclusive prefix sum over lanes (lane order = word order)
-        cum = jnp.dot(tri, flags_f, preferred_element_type=jnp.float32)
-        pos_rel = (cum - flags_f).astype(jnp.int32)                    # exclusive
-        # aligned 2048-word window covering [ptr, ptr+N); two-stage gather
-        base = pl.multiple_of((ptr // 1024) * 1024, 1024)
-        win_lo = stream_lo_ref[pl.ds(base, 2048)].reshape(16, 128)
-        win_hi = stream_hi_ref[pl.ds(base, 2048)].reshape(16, 128)
-        target = (ptr - base) + pos_rel                                # (N,1)
-        chunk_id = target // 128
-        within = target - chunk_id * 128
-        sel_c = (chunk_id == ccol16).astype(jnp.float32)               # (N,16)
-        rows_wlo = jnp.dot(sel_c, win_lo.astype(jnp.float32),
-                           preferred_element_type=jnp.float32)         # (N,128)
-        rows_whi = jnp.dot(sel_c, win_hi.astype(jnp.float32),
-                           preferred_element_type=jnp.float32)
-        in_sel = (within == wcol)
-        word_lo = jnp.sum(jnp.where(in_sel, rows_wlo.astype(jnp.int32), 0),
-                          axis=1, keepdims=True)
-        word_hi = jnp.sum(jnp.where(in_sel, rows_whi.astype(jnp.int32), 0),
-                          axis=1, keepdims=True)
-        words = word_hi * 256 + word_lo                                # (N,1)
+        nread = jnp.sum(flags.astype(jnp.int32))
+
+        def read_words(_):
+            # inclusive prefix sum over lanes (lane order = word order)
+            cum = jnp.dot(tri, flags_f, preferred_element_type=jnp.float32)
+            pos_rel = (cum - flags_f).astype(jnp.int32)                # excl.
+            # aligned 2048-word window covering [ptr, ptr+N); 2-stage gather
+            base = pl.multiple_of((ptr // 1024) * 1024, 1024)
+            win_lo = stream_lo_ref[pl.ds(base, 2048)].reshape(16, 128)
+            win_hi = stream_hi_ref[pl.ds(base, 2048)].reshape(16, 128)
+            target = (ptr - base) + pos_rel                            # (N,1)
+            chunk_id = target // 128
+            within = target - chunk_id * 128
+            sel_c = (chunk_id == ccol16).astype(jnp.float32)           # (N,16)
+            rows_wlo = jnp.dot(sel_c, win_lo.astype(jnp.float32),
+                               preferred_element_type=jnp.float32)     # (N,128)
+            rows_whi = jnp.dot(sel_c, win_hi.astype(jnp.float32),
+                               preferred_element_type=jnp.float32)
+            in_sel = (within == wcol)
+            word_lo = jnp.sum(jnp.where(in_sel, rows_wlo.astype(jnp.int32), 0),
+                              axis=1, keepdims=True)
+            word_hi = jnp.sum(jnp.where(in_sel, rows_whi.astype(jnp.int32), 0),
+                              axis=1, keepdims=True)
+            return word_hi * 256 + word_lo                             # (N,1)
+
+        # at realistic bitrates many rows consume no words: skip the window
+        # gather entirely on those rows
+        words = jax.lax.cond(nread > 0, read_words,
+                             lambda _: jnp.zeros((N, 1), jnp.int32), None)
 
         fed = (new_st << 16) | (words & MASK16)
         new_st = jnp.where(flags, fed, new_st)
@@ -117,7 +125,6 @@ def _decode_kernel(nsym_ref, ptr_in_ref,          # scalar prefetch (SMEM)
         vals = (s + offs).reshape(1, N)
         syms_ref[t, :] = jnp.where(active_row, vals, 0).reshape(N)
 
-        nread = jnp.sum(flags.astype(jnp.int32))
         return new_states.reshape(1, N), ptr + nread
 
     states0 = states_in_ref[:].reshape(1, N)
