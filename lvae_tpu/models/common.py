@@ -9,8 +9,7 @@ deliberate TPU choices:
     channel ordering (for weight porting)
 Parameters are float32; compute dtype is configurable per model.
 """
-import math
-from typing import Any, Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

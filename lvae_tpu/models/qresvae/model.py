@@ -15,8 +15,7 @@ host in one transfer for the rANS stage.
 """
 import math
 import pickle
-from pathlib import Path
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +26,7 @@ import flax.linen as nn
 from lvae_tpu.models import common
 from lvae_tpu.models.common import gelu
 from lvae_tpu.models import entropy_coding as ec
-from lvae_tpu.models.base import VAEModelBase, to_nhwc_batch, image_to_batch, batch_to_image
+from lvae_tpu.models.base import VAEModelBase, to_nhwc_batch, image_to_batch
 from lvae_tpu.ops import cdf as cdf_ops
 from lvae_tpu.utils import coding
 

@@ -5,7 +5,6 @@ broadcast_object, check_model_equivalence, sync_model_buffers). Built on
 jax collectives + multihost utils instead of torch.distributed send/recv.
 """
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 __all__ = ['barrier', 'broadcast_object', 'check_model_equivalence',

@@ -10,7 +10,7 @@ Design (TPU-first re-design of reference lvae/trainer.py:176-223, 325-406):
   * gradient accumulation via an in-state accumulator (lax.cond apply)
   * EMA lives in the train state (replicated), decay passed as scalar
 """
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,6 @@ import logging
 import math
 import os
 import time
-from collections import defaultdict
 from pathlib import Path
 
 import jax
