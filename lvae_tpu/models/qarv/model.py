@@ -204,15 +204,18 @@ def _widen_i32(x):
 
 @jax.jit
 def _patch_escapes(z_syms, esc_pos, esc_val, start):
-    """Scatter true values for escape-coded positions (block-local)."""
+    """Scatter true values for escape-coded positions (block-local).
+
+    Out-of-block and padding (-1) entries are routed to index n and dropped,
+    never clipped into [0, n-1]: a clipped write would collide with a real
+    escape at block-local position 0 or n-1, and JAX duplicate-index scatter
+    order is undefined."""
     shape = z_syms.shape
     flat = z_syms.reshape(-1)
     n = flat.shape[0]
     rel = esc_pos - start
     valid = (rel >= 0) & (rel < n) & (esc_pos >= 0)
-    rel_c = jnp.clip(rel, 0, n - 1)
-    cur = flat[rel_c]
-    flat = flat.at[rel_c].set(jnp.where(valid, esc_val, cur))
+    flat = flat.at[jnp.where(valid, rel, n)].set(esc_val, mode='drop')
     return flat.reshape(shape)
 
 
@@ -324,6 +327,14 @@ class VariableRateLossyVAENet(nn.Module):
         emb = self.get_lmb_embedding(lmb)
         _, features = self.encode(x, emb)
         return emb, features
+
+    def encode_features(self, im, emb):
+        """Backbone taking a precomputed embedding: compress and decompress
+        then share ONE compiled emb stage, so bit-exactness never depends on
+        two differently-fused XLA programs agreeing (ADVICE r1)."""
+        x = self.preprocess_input(im)
+        _, features = self.encode(x, emb)
+        return features
 
     def dec_prior_stage(self, feature, emb, k: int):
         return self.dec_blocks[k].prior_stage(feature, emb)
@@ -611,9 +622,9 @@ class QarvModel(VAEModelBase):
             return
         net = self.net
 
-        def backbone(params, im, lmb):
-            return net.apply({'params': params}, im, lmb,
-                             method=net.encode_backbone)
+        def backbone(params, im, emb):
+            return net.apply({'params': params}, im, emb,
+                             method=net.encode_features)
 
         def emb_fn(e0, e1, lmb):
             scaled = jnp.log(lmb) * (net.sin_period / math.log(MAX_LMB))
@@ -678,7 +689,9 @@ class QarvModel(VAEModelBase):
         lmb_f32 = struct.unpack('f', struct.pack('f', lmb))[0]
         fns, params = self._stage_fns, self.params
         lmb_arr = jnp.full((nB,), lmb_f32, jnp.float32)
-        emb, enc_features = fns['backbone'](params, im, lmb_arr)
+        # same compiled emb stage as decompress (bit-exactness by construction)
+        emb = fns['emb'](params['lmb_embed_0'], params['lmb_embed_1'], lmb_arr)
+        enc_features = fns['backbone'](params, im, emb)
         nH, nW = imH // self.net.max_stride, imW // self.net.max_stride
         feature = jnp.broadcast_to(params['bias'],
                                    (nB, nH, nW, params['bias'].shape[-1]))

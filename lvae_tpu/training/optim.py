@@ -85,13 +85,6 @@ def make_train_step(loss_fn, tx, accum_num=1, grad_clip=2.0, wdecay=0.0,
         (loss, stats), grads = jax.value_and_grad(
             lambda p: loss_fn(p, batch, rng), has_aux=True)(state.params)
 
-        # L2 weight decay into gradients on the weights group
-        if wdecay > 0:
-            mask = weights_mask(state.params)
-            grads = jax.tree.map(
-                lambda g, p, m: g + wdecay * p if m else g,
-                grads, state.params, mask)
-
         grad_accum = jax.tree.map(lambda a, g: a + g / accum_num,
                                   state.grad_accum, grads)
         accum_count = state.accum_count + 1
@@ -100,9 +93,16 @@ def make_train_step(loss_fn, tx, accum_num=1, grad_clip=2.0, wdecay=0.0,
         def apply_update(args):
             grad_accum, opt_state, params, ema_params = args
             gnorm = optax.global_norm(grad_accum)
-            # clip by global norm (reference: trainer.py:395)
+            # clip by global norm (reference: trainer.py:395) — RAW gradients,
+            # before weight decay, matching clip_grad_norm_ + torch Adam
+            # (decay applied inside the optimizer step, after clipping)
             scale = jnp.minimum(1.0, grad_clip / jnp.maximum(gnorm, 1e-12))
             clipped = jax.tree.map(lambda g: g * scale, grad_accum)
+            if wdecay > 0:
+                mask = weights_mask(params)
+                clipped = jax.tree.map(
+                    lambda g, p, m: g + wdecay * p if m else g,
+                    clipped, params, mask)
             # median-spike LR cut (reference: trainer.py:394-406)
             spike = gnorm > grad_median * 10.0
             lr_eff = jnp.where(spike, lr * 0.1, lr)

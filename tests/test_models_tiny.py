@@ -255,3 +255,23 @@ def test_rd_self_evaluate(tmp_path, image):
     res = m.self_evaluate(d, steps=2)
     assert len(res['bpp']) == 2
     assert all(np.isfinite(v) for v in res['psnr'])
+
+
+def test_patch_escapes_boundary_positions():
+    """Regression: escapes at block-local positions 0 and n-1 must survive
+    the padding (-1) and out-of-block entries that share the scatter
+    (ADVICE r1: clipped invalid writes used to collide with valid ones)."""
+    import jax.numpy as jnp
+    from lvae_tpu.models.qarv.model import _patch_escapes
+    n = 6
+    z = jnp.arange(100, 100 + n, dtype=jnp.int32).reshape(2, 3)
+    start = 10
+    # valid escapes at local 0 and n-1; plus padding (-1), an out-of-block
+    # position below the window, and one above it
+    esc_pos = jnp.asarray([10, 15, -1, 9, 16], jnp.int32)
+    esc_val = jnp.asarray([777, 888, 5, 6, 7], jnp.int32)
+    out = np.asarray(_patch_escapes(z, esc_pos, esc_val, jnp.int32(start)))
+    expect = np.asarray(z).reshape(-1).copy()
+    expect[0] = 777
+    expect[n - 1] = 888
+    assert (out.reshape(-1) == expect).all(), (out, expect)
