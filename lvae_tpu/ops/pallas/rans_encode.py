@@ -1,0 +1,236 @@
+"""Pallas TPU kernel: N-lane interleaved rANS ENCODE.
+
+Produces streams byte-identical to ops/rans_interleaved.InterleavedEncoder /
+ops/crans interleaved_encode, entirely on device — encode-side symbols never
+cross the device->host link (SURVEY §7 north star; replaces the reference's
+CPU-resident compressai coder, reference qarv/model.py:104-113).
+
+Construction (mirrors the decode kernel in rans_decode.py):
+  * rows of N symbols processed in REVERSE row order (rANS encodes backwards)
+  * per row: gather (start, freq) from the byte-split CDF tables with one-hot
+    MXU matmuls (f32 one-hot matmuls are exact only for <=8-bit payloads,
+    hence the lo/hi byte split)
+  * renorm flag = (state >> 16) >= freq; flagged lanes emit their low 16 bits
+  * word placement: the scalar encoder pushes words lane-DESCENDING within a
+    reversed row and finally reverses the whole list, so in the final stream
+    a row's words are lane-ASCENDING. The kernel therefore writes each row's
+    words at [end - c + rank(lane)] into a zero-initialized buffer filled
+    BACK-TO-FRONT (end starts at capacity W_cap and decreases); the stream is
+    buf[W_cap - n_words:].
+  * scatter = two-stage one-hot matmuls into an aligned 2048-word window
+    (positions are unique, the window is previously untouched -> add works)
+  * 32-bit state / 16-bit freq division with exact f32 arithmetic: base-256
+    long division, every intermediate < 2^24 (f32-exact; quotient floor is
+    provably safe: the 0.5-ulp division error is < the 1/freq gap to the
+    next integer)
+
+Escapes are handled OUTSIDE the kernel (plain vectorized JAX): out-of-range
+values are clipped to the escape bin before the kernel, and their (position,
+value) pairs are extracted with a fixed-capacity jnp.nonzero.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MASK16 = (1 << 16) - 1
+
+
+def _srl(x, n):
+    return jax.lax.shift_right_logical(x, jnp.int32(n))
+
+
+def _exact_divmod_u32(st, freq):
+    """(st // freq, st % freq) for uint32 bit patterns in int32, freq in
+    [1, 2^16]. Base-256 long division: all intermediates < 2^24, computed in
+    f32 where division+floor is exact-safe (see module docstring)."""
+    freq_f = freq.astype(jnp.float32)
+    acc = jnp.zeros_like(st)
+    q = jnp.zeros_like(st)
+    for shift in (24, 16, 8, 0):
+        digit = _srl(st, shift) & 255
+        acc = acc * 256 + digit                          # < freq * 256 <= 2^24
+        qd = jnp.floor(acc.astype(jnp.float32) / freq_f).astype(jnp.int32)
+        r = acc - qd * freq
+        # TPU f32 division is reciprocal-based (not correctly rounded):
+        # correct a possible +/-1 quotient error with exact integer checks
+        qd = qd + (r >= freq).astype(jnp.int32) - (r < 0).astype(jnp.int32)
+        acc = acc - qd * freq
+        q = q * 256 + qd
+    return q, acc
+
+
+def _encode_kernel(end_in_ref, row_n_ref,                # scalar prefetch (SMEM)
+                   states_in_ref, syms_ref, idx_ref,
+                   cdf_lo_ref, cdf_hi_ref,
+                   words_ref, states_out_ref, end_out_ref,
+                   *, N, S, L, T):
+    lane_col = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)         # (N,1)
+    lcol = jax.lax.broadcasted_iota(jnp.int32, (N, L), 1)             # (N,L)
+    scol = jax.lax.broadcasted_iota(jnp.int32, (N, S), 1)             # (N,S)
+    ccol16 = jax.lax.broadcasted_iota(jnp.int32, (N, 16), 1)          # (N,16)
+    wcol = jax.lax.broadcasted_iota(jnp.int32, (N, 128), 1)           # (N,128)
+    # strict lower-triangular (j < l): EXCLUSIVE prefix sum over lanes
+    tri_ex = (jax.lax.broadcasted_iota(jnp.int32, (N, N), 0) >
+              jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)).astype(jnp.float32)
+    cdf_lo = cdf_lo_ref[:].astype(jnp.float32)                         # (S,L)
+    cdf_hi = cdf_hi_ref[:].astype(jnp.float32)
+
+    def body(i, carry):
+        states, end = carry                                            # (N,1)
+        t = T - 1 - i                                                  # reverse
+        active = lane_col < row_n_ref[t]                               # (N,1)
+        idx = idx_ref[t, :].reshape(N, 1)
+        sym = syms_ref[t, :].reshape(N, 1)   # in-band symbol (esc pre-clipped)
+
+        onehot_s = (idx == scol).astype(jnp.float32)                   # (N,S)
+        rows_lo = jnp.dot(onehot_s, cdf_lo,
+                          preferred_element_type=jnp.float32)          # (N,L)
+        rows_hi = jnp.dot(onehot_s, cdf_hi,
+                          preferred_element_type=jnp.float32)
+        rows = rows_hi.astype(jnp.int32) * 256 + rows_lo.astype(jnp.int32)
+        start = jnp.sum(jnp.where(lcol == sym, rows, 0), axis=1,
+                        keepdims=True)                                 # (N,1)
+        cdf_next = jnp.sum(jnp.where(lcol == (sym + 1), rows, 0), axis=1,
+                           keepdims=True)
+        freq = cdf_next - start                                        # (N,1)
+        freq = jnp.where(active, freq, 1)  # keep inactive lanes benign
+
+        st = states
+        flags = jnp.logical_and(_srl(st, 16) >= freq, active)
+        flags_f = flags.astype(jnp.float32)
+        c = jnp.sum(flags.astype(jnp.int32))
+
+        # exclusive prefix sum: rank among flagged lanes (ascending)
+        rank = jnp.dot(tri_ex, flags_f,
+                       preferred_element_type=jnp.float32).astype(jnp.int32)
+        base = pl.multiple_of(((end - N) // 1024) * 1024, 1024)
+        target = (end - base) - c + rank                               # (N,1)
+        word = st & MASK16                                             # (N,1)
+        # float-arithmetic masking (bool where on wide tiles trips Mosaic i1)
+        sel_c_f = (target // 128 == ccol16).astype(jnp.float32) * flags_f
+        in_sel = (target - (target // 128) * 128 == wcol)              # (N,128)
+        w_lo = jnp.where(flags, (word & 255), 0).astype(jnp.float32)
+        w_hi = jnp.where(flags, _srl(word, 8), 0).astype(jnp.float32)
+        in_f = in_sel.astype(jnp.float32)
+        add_lo = jnp.dot(sel_c_f.T, in_f * w_lo,
+                         preferred_element_type=jnp.float32)           # (16,128)
+        add_hi = jnp.dot(sel_c_f.T, in_f * w_hi,
+                         preferred_element_type=jnp.float32)
+        add = (add_hi.astype(jnp.int32) * 256 + add_lo.astype(jnp.int32))
+        cur = words_ref[pl.ds(base, 2048)].reshape(16, 128)
+        words_ref[pl.ds(base, 2048)] = (cur + add).reshape(2048)
+        st = jnp.where(flags, _srl(st, 16), st)
+
+        q, r = _exact_divmod_u32(st, freq)
+        new_st = (q << 16) | (r + start)
+        states = jnp.where(active, new_st, states)
+        return states, end - c
+
+    # zero the word buffer: the scatter is add-based (each position written
+    # exactly once, but on top of whatever was in the uninitialized output)
+    W_cap = words_ref.shape[0]
+
+    def zero_chunk(i, _):
+        words_ref[pl.ds(pl.multiple_of(i * 2048, 1024), 2048)] = \
+            jnp.zeros((2048,), jnp.int32)
+        return 0
+    jax.lax.fori_loop(0, W_cap // 2048, zero_chunk, 0)
+
+    states0 = states_in_ref[:].reshape(N, 1)
+    end0 = end_in_ref[0]
+    states, end = jax.lax.fori_loop(0, T, body, (states0, end0))
+    states_out_ref[:] = states.reshape(states_out_ref.shape)
+    end_out_ref[0] = end
+
+
+@functools.partial(jax.jit, static_argnames=('num_lanes', 'w_cap', 'interpret'))
+def rans_encode_all(syms, indexes, row_n, cdfs, num_lanes=128,
+                    w_cap=None, interpret=False):
+    """Encode ALL of an image's symbol rows (all latent blocks concatenated,
+    each block starting on a fresh row — per-block lane restart) on device.
+
+    Args:
+        syms:    (T, N) int32 in-band symbols (offset-subtracted, escape bin
+                 already substituted for out-of-range values)
+        indexes: (T, N) int32 scale indexes
+        row_n:   (T,) int32 active lanes per row (N except at block tails)
+        cdfs:    (S, L) int32 sentinel-padded CDF rows (prepare_device_cdf)
+    Returns:
+        (words_buf (W,) int32 — the stream is words_buf[end:end0],
+         end int32, states (1, N) int32 — the decoder's initial states,
+         end0 int32 — the fixed write origin)
+    """
+    T, N = syms.shape
+    S, L = cdfs.shape
+    assert N == num_lanes
+    if w_cap is None:
+        w_cap = T * N  # worst case: one word per symbol
+    # layout: [2048 low pad][capacity][2048 high pad] — the aligned 2048-word
+    # write window may overhang up to 2048 above `end0` and `end` never drops
+    # below 2048, so every window access is in bounds
+    end0 = 2048 + ((w_cap + 2047) // 2048) * 2048
+    W_cap = end0 + 2048
+    cdf_lo = cdfs & 255
+    cdf_hi = _srl(cdfs, 8)
+    states0 = jnp.full((1, N), 1 << 16, jnp.int32)
+
+    kernel = functools.partial(_encode_kernel, N=N, S=S, L=L, T=T)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # words buffer
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # states out
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # end out
+        ],
+    )
+    words, states, end = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((W_cap,), jnp.int32),
+            jax.ShapeDtypeStruct((1, N), jnp.int32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+        ],
+        interpret=interpret,
+    )(jnp.asarray([end0], jnp.int32), jnp.asarray(row_n, jnp.int32),
+      states0, syms, indexes, cdf_lo, cdf_hi)
+    return words, end[0], states, end0
+
+
+def blocks_to_rows(values_per_block, indexes_per_block, N):
+    """Host-side helper (oracle/tests): lay out per-block flat symbol arrays
+    as (T, N) rows with per-block lane restart, returning
+    (syms_rows, idx_rows, row_n). Escape substitution is NOT done here."""
+    sym_rows, idx_rows, row_ns = [], [], []
+    for v, ix in zip(values_per_block, indexes_per_block):
+        v = np.asarray(v, np.int32).ravel()
+        ix = np.asarray(ix, np.int32).ravel()
+        Tb = max((v.size + N - 1) // N, 1)
+        sv = np.zeros(Tb * N, np.int32)
+        si = np.zeros(Tb * N, np.int32)
+        sv[:v.size] = v
+        si[:ix.size] = ix
+        rn = np.full(Tb, N, np.int32)
+        rn[-1] = v.size - (Tb - 1) * N if v.size else 0
+        sym_rows.append(sv.reshape(Tb, N))
+        idx_rows.append(si.reshape(Tb, N))
+        row_ns.append(rn)
+    return (np.concatenate(sym_rows), np.concatenate(idx_rows),
+            np.concatenate(row_ns))
+
+
+def prepare_inband(values, indexes, offsets, lengths):
+    """Vectorized escape handling (outside the kernel): returns
+    (inband_sym, esc_mask) where inband_sym = clip-to-escape-bin symbol
+    (already offset-subtracted)."""
+    off = jnp.take(jnp.asarray(offsets, jnp.int32), indexes)
+    max_sym = jnp.take(jnp.asarray(lengths, jnp.int32), indexes) - 2
+    sym = values - off
+    esc = (sym < 0) | (sym >= max_sym)
+    return jnp.where(esc, max_sym, sym), esc

@@ -1,0 +1,93 @@
+"""Pallas interleaved-rANS ENCODE kernel vs the numpy/C++ oracle.
+
+Byte-identical streams are required: the decoder (host or Pallas) consumes
+whatever the encoder emits, and `decompress_file` parity depends on it
+(SURVEY §7 north star). Runs in interpret mode on CPU; the same kernel is
+validated on real TPU hardware by scripts/tpu-validate-codec.py.
+"""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from lvae_tpu.ops.cdf import build_cdf_table, default_gaussian_scale_table
+from lvae_tpu.ops.rans_interleaved import InterleavedEncoder, decode_interleaved
+from lvae_tpu.ops.pallas import rans_encode as pre
+from lvae_tpu.ops.pallas import rans_decode as prd
+
+
+@pytest.fixture(scope='module')
+def table():
+    return build_cdf_table(default_gaussian_scale_table())
+
+
+def _random_blocks(rng, sizes, esc_rate=0.01):
+    vals, idxs = [], []
+    st = np.asarray(default_gaussian_scale_table())
+    for sz in sizes:
+        idx = rng.integers(0, 64, sz).astype(np.int32)
+        v = np.round(rng.normal(0, st[idx] * 1.5)).astype(np.int32)
+        esc = rng.random(sz) < esc_rate
+        v[esc] = rng.integers(-500, 500, esc.sum())
+        vals.append(v)
+        idxs.append(idx)
+    return vals, idxs
+
+
+def _kernel_encode(table, vals, idxs, N=128):
+    cdfs_d, _ = prd.prepare_device_cdf(table)
+    sym_rows, idx_rows, row_n = pre.blocks_to_rows(vals, idxs, N)
+    inband, esc = pre.prepare_inband(jnp.asarray(sym_rows),
+                                     jnp.asarray(idx_rows),
+                                     table.offsets, table.cdf_lengths)
+    buf, end, st, end0 = pre.rans_encode_all(
+        inband, jnp.asarray(idx_rows), row_n, jnp.asarray(cdfs_d),
+        num_lanes=N, interpret=True)
+    words = np.asarray(buf)[int(end):int(end0)].astype(np.uint16)
+    states = np.asarray(st).reshape(-1).view(np.uint32)
+    return words, states
+
+
+@pytest.mark.parametrize('sizes,esc_rate', [
+    ([5], 0.0),
+    ([300, 7, 129], 0.02),
+    ([1000, 999, 128, 1], 0.01),
+    ([256, 256], 0.0),           # exact full rows
+])
+def test_encode_kernel_matches_oracle(table, sizes, esc_rate):
+    rng = np.random.default_rng(sum(sizes))
+    vals, idxs = _random_blocks(rng, sizes, esc_rate)
+    enc = InterleavedEncoder(table, 128)
+    for v, ix in zip(vals, idxs):
+        enc.append_block(v, ix)
+    st_ref, words_ref, _ = enc.finish()
+    words, states = _kernel_encode(table, vals, idxs)
+    assert np.array_equal(words_ref, words)
+    assert np.array_equal(st_ref, states)
+
+
+def test_encode_kernel_roundtrip(table):
+    """Kernel-encoded stream decodes back to the values (numpy decoder)."""
+    rng = np.random.default_rng(7)
+    vals, idxs = _random_blocks(rng, [777, 131], esc_rate=0.03)
+    enc = InterleavedEncoder(table, 128)
+    for v, ix in zip(vals, idxs):
+        enc.append_block(v, ix)
+    _, _, escapes = enc.finish()
+    words, states = _kernel_encode(table, vals, idxs)
+    out = decode_interleaved(states, words, idxs, table, escapes=escapes)
+    for v, o in zip(vals, out):
+        assert np.array_equal(v, o)
+
+
+def test_prepare_inband_escape_extraction(table):
+    """prepare_inband's escape mask marks exactly the oracle's escapes."""
+    rng = np.random.default_rng(3)
+    vals, idxs = _random_blocks(rng, [450], esc_rate=0.05)
+    enc = InterleavedEncoder(table, 128)
+    enc.append_block(vals[0], idxs[0])
+    _, _, escapes = enc.finish()
+    _, esc = pre.prepare_inband(jnp.asarray(vals[0]), jnp.asarray(idxs[0]),
+                                table.offsets, table.cdf_lengths)
+    got_pos = np.nonzero(np.asarray(esc))[0]
+    assert np.array_equal(got_pos, escapes[:, 0])
+    assert np.array_equal(vals[0][got_pos], escapes[:, 1])
