@@ -1,0 +1,211 @@
+"""Shared machinery for the single-program (fused) codecs.
+
+Each model family subclasses FusedCodecBase with its own _build_encode /
+_build_decode chain builders; the payload layout, adaptive single-pull
+logic, and stream parsing are family-independent. See qarv/fused.py for the
+design rationale (one XLA program per direction, optimization-barrier
+bit-exactness discipline, wire format).
+"""
+import struct
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lvae_tpu.ops.pallas import rans_decode as prd
+from lvae_tpu.models import common
+
+_ob = jax.lax.optimization_barrier
+
+
+def cast_tree(params, dtype):
+    if dtype is None:
+        return params
+    dt = jnp.dtype(dtype)
+    return jax.tree.map(
+        lambda x: x.astype(dt) if x.dtype == jnp.float32 else x, params)
+
+
+class FusedCodecBase:
+    def __init__(self, net, cdf_table, num_lanes=128, esc_cap=8192,
+                 compute_dtype=None, interpret=False):
+        self.net = net
+        self.table = cdf_table
+        cdfs_np, offs_np = prd.prepare_device_cdf(cdf_table)
+        self.cdfs = jnp.asarray(cdfs_np)
+        self.offsets_np = cdf_table.offsets.astype(np.int32)
+        self.lengths_np = cdf_table.cdf_lengths.astype(np.int32)
+        self.N = int(num_lanes)
+        self.esc_cap = int(esc_cap)
+        self.compute_dtype = compute_dtype
+        self.interpret = bool(interpret)
+        self._enc_cache = {}
+        self._dec_cache = {}
+        self._pull_words = {}
+
+    # subclasses provide _build_encode(imH, imW) and _build_decode(nH, nW)
+
+    def _block_sizes(self, nH, nW):
+        """Static per-latent-block symbol counts at latent grid (nH, nW)."""
+        sizes = []
+        h, w = nH, nW
+        for block in self.net.dec_blocks:
+            if getattr(block, 'is_latent_block', False):
+                sizes.append(h * w * block.zdim)
+            elif isinstance(block, common.CompressionStopFlag):
+                break
+            elif isinstance(block, (common.patch_upsample,
+                                    common.upsample_nearest)):
+                h, w = h * block.rate, w * block.rate
+            elif isinstance(block, common.deconv):
+                h, w = h * block.stride, w * block.stride
+        return sizes
+
+
+    def encode(self, params, im, *extra):
+        """Run the fused encode program and assemble the payload bytes.
+
+        Payload layout: [3+N scalars/states][packed words (cap)][escape
+        (pos,val) pairs (cap)] — the escape region sits BEHIND the words so
+        the common case (trained weights: ~zero escapes) costs exactly ONE
+        adaptive-prefix pull; untrained/random weights pay a second pull for
+        the escape pairs."""
+        _, imH, imW, _ = im.shape
+        key = (imH, imW)
+        if key not in self._enc_cache:
+            self._enc_cache[key] = self._build_encode(imH, imW)
+        payload = self._enc_cache[key](params, im, *extra)
+
+        N, esc_cap = self.N, self.esc_cap
+        head_len = 3 + N
+        total = int(payload.shape[0])
+        esc_off = total - 2 * esc_cap
+        est = self._pull_words.get(key)
+        if est is None:
+            take = esc_off                     # first image: all words
+        else:
+            take = min(head_len + (est + 1) // 2, esc_off)
+        pulled = np.asarray(payload[:take])
+        n_words = int(pulled[0])
+        n_esc = int(pulled[1])
+        if n_esc > esc_cap:
+            raise OverflowError(
+                f'{n_esc} escapes exceed the fused-codec capacity {esc_cap}; '
+                f'raise esc_cap (compress_mode) or use coder="host"')
+        need = head_len + (n_words + 1) // 2
+        if need > take:                        # estimate too small: pull rest
+            rest = np.asarray(payload[take:need])
+            pulled = np.concatenate([pulled, rest])
+        self._pull_words[key] = int(n_words * 1.2) + 64
+
+        states_u32 = pulled[3:3 + N].copy().view('<u4')
+        packed = np.ascontiguousarray(
+            pulled[head_len:head_len + (n_words + 1) // 2])
+        words16 = packed.view('<u2')[:n_words]
+        if n_esc:
+            esc_pairs = np.asarray(payload[esc_off:esc_off + 2 * n_esc])
+        else:
+            esc_pairs = np.zeros(0, np.int32)
+
+        out = struct.pack('<IIH', n_words, n_esc, N)
+        out += states_u32.tobytes()
+        out += esc_pairs.astype('<i4').tobytes()
+        out += words16.astype('<u2').tobytes()
+        return out
+
+    @staticmethod
+    def _word_bucket(n_words):
+        b = 2048
+        while b < n_words:
+            b *= 2
+        return b
+
+    def parse_payload(self, body: bytes):
+        """-> (states (1,N) i32 dev-ready, packed words i32, esc_pos, esc_val)."""
+        N = self.N
+        n_words, n_esc, lanes = struct.unpack('<IIH', body[:10])
+        assert lanes == N, f'stream lanes {lanes} != configured {N}'
+        off = 10
+        states = np.frombuffer(body[off:off + 4 * N], '<u4'); off += 4 * N
+        esc = np.frombuffer(body[off:off + 8 * n_esc], '<i4').reshape(-1, 2)
+        off += 8 * n_esc
+        words = np.frombuffer(body[off:off + 2 * n_words], '<u2')
+
+        wb = self._word_bucket(n_words)
+        pk = np.zeros(wb, np.uint32)
+        pk[:n_words] = words.astype(np.uint32)
+        packed = (pk[0::2] | (pk[1::2] << 16)).astype(np.uint32).view(np.int32)
+
+        ecap = self.esc_cap
+        esc_pos = np.full(ecap, -1, np.int32)
+        esc_val = np.zeros(ecap, np.int32)
+        esc_pos[:n_esc] = esc[:, 0]
+        esc_val[:n_esc] = esc[:, 1]
+        return (states.view(np.int32).reshape(1, N).copy(), packed,
+                esc_pos, esc_val, wb)
+
+    def decode_to_device(self, params, body: bytes, nH, nW, *extra):
+        """Parse + push + run the fused decode program; returns the f16
+        image ON DEVICE (asynchronous; caller pulls or syncs)."""
+        states, packed, esc_pos, esc_val, wb = self.parse_payload(body)
+        key = (nH, nW, wb)
+        if key not in self._dec_cache:
+            self._dec_cache[key] = self._build_decode(nH, nW)
+        return self._dec_cache[key](
+            params, jnp.asarray(states), jnp.asarray(packed),
+            jnp.asarray(esc_pos), jnp.asarray(esc_val), *extra)
+
+    # ---- in-program helpers shared by subclasses -------------------------
+
+    @staticmethod
+    def unpack_words(packed):
+        w0 = packed & 0xFFFF
+        w1 = jax.lax.shift_right_logical(packed, 16)
+        return jnp.stack([w0, w1], axis=1).reshape(-1)
+
+    def pack_payload(self, syms_flat, idx_flat):
+        """Common encode tail: escapes, row layout, device rANS encode,
+        payload assembly. syms_flat/idx_flat: lists of flat int32 arrays,
+        one per latent block (decode order)."""
+        from lvae_tpu.ops.pallas import rans_encode as pre
+        N, esc_cap = self.N, self.esc_cap
+        offsets = jnp.asarray(self.offsets_np)
+        lengths = jnp.asarray(self.lengths_np)
+        values = jnp.concatenate(syms_flat)
+        idx_all = jnp.concatenate(idx_flat)
+        inband, esc_mask = pre.prepare_inband(values, idx_all,
+                                              offsets, lengths)
+        n_esc_true = jnp.sum(esc_mask.astype(jnp.int32))
+        (esc_pos,) = jnp.nonzero(esc_mask, size=esc_cap, fill_value=-1)
+        esc_val = jnp.where(esc_pos >= 0, values[esc_pos], 0)
+
+        sym_rows, idx_rows, row_ns = [], [], []
+        off = 0
+        for s in [v.shape[0] for v in syms_flat]:
+            Tb = max((s + N - 1) // N, 1)
+            pad = Tb * N - s
+            sym_rows.append(jnp.pad(jax.lax.dynamic_slice_in_dim(
+                inband, off, s), (0, pad)).reshape(Tb, N))
+            idx_rows.append(jnp.pad(jax.lax.dynamic_slice_in_dim(
+                idx_all, off, s), (0, pad)).reshape(Tb, N))
+            rn = np.full(Tb, N, np.int32)
+            rn[-1] = s - (Tb - 1) * N
+            row_ns.append(rn)
+            off += s
+        buf, end, states, end0 = pre.rans_encode_all(
+            jnp.concatenate(sym_rows), jnp.concatenate(idx_rows),
+            np.concatenate(row_ns), self.cdfs, num_lanes=N,
+            interpret=self.interpret)
+        n_words = end0 - end
+        rolled = jnp.roll(buf, -end)
+        half = rolled.shape[0] // 2
+        packed = (rolled[0::2][:half] & 0xFFFF) | \
+                 ((rolled[1::2][:half] & 0xFFFF) << 16)
+        head = jnp.concatenate([
+            jnp.stack([n_words, n_esc_true, jnp.int32(N)]),
+            states.reshape(-1),
+        ])
+        esc_pairs = jnp.stack([esc_pos.astype(jnp.int32),
+                               esc_val.astype(jnp.int32)], axis=1).reshape(-1)
+        # escapes LAST: the common (trained) case has none and never pulls them
+        return jnp.concatenate([head, packed, esc_pairs])

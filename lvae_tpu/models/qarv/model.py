@@ -73,7 +73,11 @@ class VRLVBlockBase(nn.Module):
         device->host boundary on every decode, and host link bandwidth is
         the latency bottleneck on tunneled TPU setups."""
         feature = self.resnet_front(feature, emb)
-        pm, plogv = jnp.split(self.prior(feature), 2, axis=-1)
+        # prior head stays float32 even under bf16 compute: pm/pv feed the
+        # rate term and the coding indexes (reference forces f32 probability
+        # math, entropy_coding.py:17)
+        p_out = self.prior(feature).astype(jnp.float32)
+        pm, plogv = jnp.split(p_out, 2, axis=-1)
         plogv = jax.nn.softplus(plogv + 2.3) - 2.3
         pv = jnp.exp(plogv)
         indexes = ec.build_indexes(
@@ -104,11 +108,11 @@ class VRLVBlockBase(nn.Module):
         return sym16, syms
 
     def fuse_stage(self, feature, pm, symbols, emb):
-        z = symbols.astype(jnp.float32) + pm
+        z = symbols.astype(jnp.float32) + pm.astype(jnp.float32)
         return self._fuse(feature, z, emb)
 
     def _fuse(self, feature, z, emb):
-        feature = feature + self.z_proj(z)
+        feature = feature + self.z_proj(z.astype(feature.dtype))
         return self.resnet_end(feature, emb)
 
     # --- full-graph modes -----------------------------------------------------
@@ -592,13 +596,19 @@ class QarvModel(VAEModelBase):
         return self._jit_e2e_fn
 
     # ------------------------------------------------------------- compression
-    def compress_mode(self, mode=True, coder='host'):
-        """Prepare entropy coding. coder='host' uses the per-block C++ rANS
-        (rate-identical to the reference's layout); coder='device' uses the
-        N-lane interleaved stream decoded ON DEVICE by the Pallas kernel —
-        two host transfers per image instead of two per latent block, at a
-        small rate overhead (num_lanes * ~4 bytes per image)."""
-        assert coder in ('host', 'device')
+    def compress_mode(self, mode=True, coder='fused', num_lanes=128,
+                      esc_cap=8192, compute_dtype=None):
+        """Prepare entropy coding.
+
+        coder='host'   per-block C++ rANS (rate-identical to the reference's
+                       stream layout; many host round-trips)
+        coder='device' staged per-block programs + Pallas on-device decode
+                       (round-1 path, kept as the fused path's oracle)
+        coder='fused'  ONE XLA program per direction with on-device rANS in
+                       both (models/qarv/fused.py) — the production path.
+        compute_dtype='bfloat16' runs the fused conv stacks in bf16 (prior
+        head and probability math stay f32)."""
+        assert coder in ('host', 'device', 'fused')
         if mode:
             self._coder.update()
             self._build_stage_fns()
@@ -609,6 +619,13 @@ class QarvModel(VAEModelBase):
                 self._dev_cdfs = jnp.asarray(cdf_np)
                 self._dev_offs = jnp.asarray(off_np)
                 self.num_lanes = 128
+            elif coder == 'fused':
+                from lvae_tpu.models.qarv.fused import FusedQarvCodec
+                self._fused = FusedQarvCodec(
+                    self.net, self._coder._cdf_table, num_lanes=num_lanes,
+                    esc_cap=esc_cap, compute_dtype=compute_dtype,
+                    interpret=jax.default_backend() == 'cpu')
+                self.num_lanes = num_lanes
         self.compressing = mode
 
     def _block_params(self, k):
@@ -687,6 +704,12 @@ class QarvModel(VAEModelBase):
         lmb = float(lmb) if lmb is not None else float(self.default_lmb)
         # struct 'f' stores float32; use the same rounded value on both sides
         lmb_f32 = struct.unpack('f', struct.pack('f', lmb))[0]
+        if getattr(self, 'coder_kind', 'host') == 'fused':
+            nH, nW = imH // self.net.max_stride, imW // self.net.max_stride
+            body = self._fused.encode(self.params, jnp.asarray(im),
+                                      jnp.full((1,), lmb_f32, jnp.float32))
+            return (struct.pack('f', lmb_f32) + struct.pack('3H', nB, nH, nW)
+                    + body)
         fns, params = self._stage_fns, self.params
         lmb_arr = jnp.full((nB,), lmb_f32, jnp.float32)
         # same compiled emb stage as decompress (bit-exactness by construction)
@@ -757,7 +780,11 @@ class QarvModel(VAEModelBase):
         assert self.compressing, 'call compress_mode() first'
         lmb, string = struct.unpack('f', string[:4])[0], string[4:]
         (nB, nH, nW), string = struct.unpack('3H', string[:6]), string[6:]
-        if getattr(self, 'coder_kind', 'host') == 'device':
+        kind = getattr(self, 'coder_kind', 'host')
+        if kind == 'fused':
+            img = self.decompress_to_device(lmb, nB, nH, nW, string)
+            return np.asarray(img, dtype=np.float32)
+        if kind == 'device':
             return self._decompress_device(lmb, nB, nH, nW, string)
         all_lv_strings = coding.unpack_byte_string(string)
         fns, params = self._stage_fns, self.params
@@ -789,6 +816,15 @@ class QarvModel(VAEModelBase):
                 feature = fns['plain'](block, bp, feature, emb)
         assert str_i == len(all_lv_strings), f'{str_i=} != {len(all_lv_strings)=}'
         return np.asarray(fns['finish'](feature), dtype=np.float32)
+
+    def decompress_to_device(self, lmb, nB, nH, nW, body):
+        """Fused decode returning the f16 image ON DEVICE (async). The bench
+        path: real codecs leave the frame device-resident (the reference's
+        speedtest times GPU-resident decode output the same way,
+        scripts/speedtest-lvae.py:29-44)."""
+        assert nB == 1
+        return self._fused.decode_to_device(
+            self.params, body, nH, nW, jnp.full((1,), lmb, jnp.float32))
 
     def _decompress_device(self, lmb, nB, nH, nW, payload):
         """Fully on-device decode: ONE bitstream push, ONE image pull.

@@ -515,11 +515,19 @@ class QresModel(VAEModelBase):
         return im_sample
 
     # ---------------------------------------------------------- compression
-    def compress_mode(self, mode=True, coder='host'):
+    def compress_mode(self, mode=True, coder=None, num_lanes=128,
+                      esc_cap=8192, compute_dtype=None):
         """Build CDF tables (reference: qresvae/model.py:640-647).
-        coder='device' uses the N-lane interleaved stream decoded on device
-        by the Pallas kernel (see qarv model docstring); nB must be 1."""
-        assert coder in ('host', 'device')
+        coder='host'   per-block C++ rANS (reference container layout)
+        coder='device' staged programs + Pallas on-device decode (nB=1)
+        coder='fused'  one XLA program per direction with on-device rANS in
+                       both directions (qresvae/fused.py); lossy models only
+                       — the default for them. Lossless defaults to 'host'."""
+        if coder is None:
+            coder = 'host' if self.lossless else 'fused'
+        assert coder in ('host', 'device', 'fused')
+        assert not (coder == 'fused' and self.lossless), \
+            'the lossless NLL head is not fused; use coder="host"/"device"'
         if mode:
             self._block_coder.update()
             if self._head_coder is not None:
@@ -533,6 +541,14 @@ class QresModel(VAEModelBase):
                 self._dev_cdfs = jnp.asarray(cdf_np)
                 self._dev_offs = jnp.asarray(off_np)
                 self.num_lanes = 128
+            elif coder == 'fused':
+                from lvae_tpu.models.qresvae.fused import FusedQresCodec
+                self._fused = FusedQresCodec(
+                    self.net, self._block_coder._cdf_table,
+                    num_lanes=num_lanes, esc_cap=esc_cap,
+                    compute_dtype=compute_dtype,
+                    interpret=jax.default_backend() == 'cpu')
+                self.num_lanes = num_lanes
         self.compressing = mode
 
     def _block_params(self, k):
@@ -597,6 +613,13 @@ class QresModel(VAEModelBase):
         assert self.compressing, 'call compress_mode() first'
         im = to_nhwc_batch(im)
         self._check_input(im)
+        if getattr(self, 'coder_kind', 'host') == 'fused':
+            assert im.shape[0] == 1, 'fused coder supports single images'
+            nH = im.shape[1] // self.net.max_stride
+            nW = im.shape[2] // self.net.max_stride
+            body = self._fused.encode(self.params, jnp.asarray(im))
+            width = self.params['bias'].shape[-1]
+            return [body, (1, nH, nW, width)]
         fns, params = self._stage_fns, self.params
         enc_features = fns['backbone'](params, im)
         min_res = min(enc_features.keys())
@@ -675,6 +698,10 @@ class QresModel(VAEModelBase):
         """Inverse of compress (reference: qresvae/model.py:670-687)."""
         assert self.compressing, 'call compress_mode() first'
         fns, params = self._stage_fns, self.params
+        if getattr(self, 'coder_kind', 'host') == 'fused':
+            nB, fH, fW, _ = compressed_object[-1]
+            img = self.decompress_to_device(compressed_object[0], fH, fW)
+            return np.asarray(img, dtype=np.float32)
         if self.lossless:
             head_strings = compressed_object[-1]
             compressed_object = compressed_object[:-1]
@@ -762,6 +789,10 @@ class QresModel(VAEModelBase):
             return np.clip(np.asarray(x_hat, np.float32), -1, 1) * 0.5 + 0.5
         return np.asarray(fns['finish'](params.get('out_net', {}), feature),
                           dtype=np.float32)
+
+    def decompress_to_device(self, body, fH, fW):
+        """Fused decode returning the f16 image ON DEVICE (async)."""
+        return self._fused.decode_to_device(self.params, body, fH, fW)
 
     def compress_file(self, img_path, output_path):
         """Compress an image file (pickle container + original h/w,

@@ -275,3 +275,44 @@ def test_patch_escapes_boundary_positions():
     expect[0] = 777
     expect[n - 1] = 888
     assert (out.reshape(-1) == expect).all(), (out, expect)
+
+
+def _inflate_posteriors(params, factor):
+    def rec(p, path=()):
+        if isinstance(p, dict):
+            return {k: rec(v, path + (k,)) for k, v in p.items()}
+        if 'posterior' in '/'.join(path) and path[-1] == 'kernel':
+            return p * factor
+        return p
+    return rec(params)
+
+
+def test_qarv_fused_coder_bitexact_vs_host(image):
+    """The fused single-program codec must reproduce the host coder's
+    reconstruction bit-exactly (escapes included)."""
+    import lvae_tpu
+    m = lvae_tpu.get_model('qarv_tiny')
+    m.params = _inflate_posteriors(m.params, 60.0)  # force escape symbols
+    m.compress_mode(coder='host')
+    obj_h = m.compress(image, lmb=1024)
+    rec_h = m.decompress(obj_h)
+    m.compress_mode(coder='fused')
+    obj_f = m.compress(image, lmb=1024)
+    rec_f = m.decompress(obj_f)
+    assert obj_f == m.compress(image, lmb=1024)  # deterministic
+    assert (rec_h == rec_f).all()
+    import struct
+    n_words, n_esc, lanes = struct.unpack('<IIH', obj_f[10:20])
+    assert lanes == 128 and n_words > 0
+
+
+def test_qres_fused_coder_bitexact_vs_host(qres_model, image):
+    m = qres_model
+    m.compress_mode(coder='host')
+    rec_h = m.decompress(m.compress(image))
+    m.compress_mode(coder='fused')
+    obj = m.compress(image)
+    rec_f = m.decompress(obj)
+    assert (rec_h == rec_f).all()
+    # container mirrors the reference layout: [payload, smallest_shape]
+    assert isinstance(obj[0], bytes) and len(obj[-1]) == 4
