@@ -75,7 +75,22 @@ class FusedCodecBase:
         if key not in self._enc_cache:
             self._enc_cache[key] = self._build_encode(imH, imW)
         payload = self._enc_cache[key](params, im, *extra)
+        return self._payload_to_bytes(payload, key)
 
+    def encode_check(self, params, im, *extra):
+        """Self-check encode: also returns the f16 image reconstructed from
+        the ENCODE-side symbols — the decode program must match it bitwise
+        (validation only; one extra synthesis-tail pass)."""
+        import numpy as _np
+        _, imH, imW, _ = im.shape
+        key = (imH, imW, 'check')
+        if key not in self._enc_cache:
+            self._enc_cache[key] = self._build_encode(imH, imW,
+                                                      selfcheck=True)
+        payload, img = self._enc_cache[key](params, im, *extra)
+        return self._payload_to_bytes(payload, (imH, imW)), _np.asarray(img)
+
+    def _payload_to_bytes(self, payload, key):
         N, esc_cap = self.N, self.esc_cap
         head_len = 3 + N
         total = int(payload.shape[0])
@@ -101,7 +116,7 @@ class FusedCodecBase:
         states_u32 = pulled[3:3 + N].copy().view('<u4')
         packed = np.ascontiguousarray(
             pulled[head_len:head_len + (n_words + 1) // 2])
-        words16 = packed.view('<u2')[:n_words]
+        words16 = packed.view('<u2')[:n_words][::-1]  # push order -> stream
         if n_esc:
             esc_pairs = np.asarray(payload[esc_off:esc_off + 2 * n_esc])
         else:
@@ -136,21 +151,26 @@ class FusedCodecBase:
         pk[:n_words] = words.astype(np.uint32)
         packed = (pk[0::2] | (pk[1::2] << 16)).astype(np.uint32).view(np.int32)
 
-        ecap = self.esc_cap
-        esc_pos = np.full(ecap, -1, np.int32)
-        esc_val = np.zeros(ecap, np.int32)
+        # escape arrays bucketed to the ACTUAL count (trained models: ~none)
+        # — pushing/scattering esc_cap-sized arrays would dominate decode
+        eb = 128
+        while eb < n_esc:
+            eb *= 2
+        esc_pos = np.full(eb, -1, np.int32)
+        esc_val = np.zeros(eb, np.int32)
         esc_pos[:n_esc] = esc[:, 0]
         esc_val[:n_esc] = esc[:, 1]
         return (states.view(np.int32).reshape(1, N).copy(), packed,
-                esc_pos, esc_val, wb)
+                esc_pos, esc_val)
 
     def decode_to_device(self, params, body: bytes, nH, nW, *extra):
         """Parse + push + run the fused decode program; returns the f16
         image ON DEVICE (asynchronous; caller pulls or syncs)."""
-        states, packed, esc_pos, esc_val, wb = self.parse_payload(body)
-        key = (nH, nW, wb)
+        states, packed, esc_pos, esc_val = self.parse_payload(body)
+        key = (nH, nW)
         if key not in self._dec_cache:
             self._dec_cache[key] = self._build_decode(nH, nW)
+        # jit re-specializes per (word-bucket, escape-bucket) shape
         return self._dec_cache[key](
             params, jnp.asarray(states), jnp.asarray(packed),
             jnp.asarray(esc_pos), jnp.asarray(esc_val), *extra)
@@ -192,15 +212,16 @@ class FusedCodecBase:
             rn[-1] = s - (Tb - 1) * N
             row_ns.append(rn)
             off += s
-        buf, end, states, end0 = pre.rans_encode_all(
+        buf, n_words, states = pre.rans_encode_all(
             jnp.concatenate(sym_rows), jnp.concatenate(idx_rows),
             np.concatenate(row_ns), self.cdfs, num_lanes=N,
             interpret=self.interpret)
-        n_words = end0 - end
-        rolled = jnp.roll(buf, -end)
-        half = rolled.shape[0] // 2
-        packed = (rolled[0::2][:half] & 0xFFFF) | \
-                 ((rolled[1::2][:half] & 0xFFFF) << 16)
+        # words sit at buf[:n_words] in REVERSED stream order (the kernel
+        # writes in push order; a device-side flip would be a slow dynamic
+        # gather — the host reverses after the pull instead)
+        half = buf.shape[0] // 2
+        packed = (buf[0::2][:half] & 0xFFFF) | \
+                 ((buf[1::2][:half] & 0xFFFF) << 16)
         head = jnp.concatenate([
             jnp.stack([n_words, n_esc_true, jnp.int32(N)]),
             states.reshape(-1),

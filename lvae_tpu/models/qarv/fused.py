@@ -74,7 +74,12 @@ class FusedQarvCodec(FusedCodecBase):
 
     # ------------------------------------------------------- encode side
 
-    def _build_encode(self, imH, imW):
+    def _build_encode(self, imH, imW, selfcheck=False):
+        """selfcheck=True additionally runs the synthesis tail with the
+        ENCODE-side symbols and returns (payload, f16 image): if the decode
+        program's image equals it bitwise, every shared stage (prior/fuse)
+        reproduced the encoder's floats exactly — the fused-codec invariant
+        validated on hardware by scripts/tpu-validate-codec.py."""
         net, N, cd = self.net, self.N, self.compute_dtype
 
         def enc_prog(params, im, lmb):
@@ -110,10 +115,17 @@ class FusedQarvCodec(FusedCodecBase):
                     syms_flat.append(syms.reshape(-1))
                     idx_flat.append(indexes.reshape(-1).astype(jnp.int32))
                 elif isinstance(blk, common.CompressionStopFlag):
+                    if selfcheck:
+                        continue
                     break
                 else:
                     feature = self._plain(blk, bp, feature, emb_c)
-            return self.pack_payload(syms_flat, idx_flat)
+            payload = self.pack_payload(syms_flat, idx_flat)
+            if selfcheck:
+                im_out = jnp.clip(feature.astype(jnp.float32),
+                                  -1.0, 1.0) * 0.5 + 0.5
+                return payload, im_out.astype(jnp.float16)
+            return payload
 
         return jax.jit(enc_prog)
 

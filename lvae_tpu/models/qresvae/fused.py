@@ -33,7 +33,7 @@ class FusedQresCodec(FusedCodecBase):
 
     # ------------------------------------------------------- encode side
 
-    def _build_encode(self, imH, imW):
+    def _build_encode(self, imH, imW, selfcheck=False):
         net, cd = self.net, self.compute_dtype
 
         def enc_prog(params, im):
@@ -64,7 +64,12 @@ class FusedQresCodec(FusedCodecBase):
                     idx_flat.append(indexes.reshape(-1).astype(jnp.int32))
                 else:
                     feature = self._plain(blk, bp, feature)
-            return self.pack_payload(syms_flat, idx_flat)
+            payload = self.pack_payload(syms_flat, idx_flat)
+            if selfcheck:
+                im_out = jnp.clip(feature.astype(jnp.float32),
+                                  -1.0, 1.0) * 0.5 + 0.5
+                return payload, im_out.astype(jnp.float16)
+            return payload
 
         return jax.jit(enc_prog)
 

@@ -12,11 +12,11 @@ Construction (mirrors the decode kernel in rans_decode.py):
     hence the lo/hi byte split)
   * renorm flag = (state >> 16) >= freq; flagged lanes emit their low 16 bits
   * word placement: the scalar encoder pushes words lane-DESCENDING within a
-    reversed row and finally reverses the whole list, so in the final stream
-    a row's words are lane-ASCENDING. The kernel therefore writes each row's
-    words at [end - c + rank(lane)] into a zero-initialized buffer filled
-    BACK-TO-FRONT (end starts at capacity W_cap and decreases); the stream is
-    buf[W_cap - n_words:].
+    reversed row and finally reverses the whole list. The kernel writes in
+    PUSH order — forward from position 0, lane-descending within each
+    reversed row — so the final stream is REVERSE(buf[:n_words]); the host
+    (or any consumer) does the cheap contiguous flip. (A device-side flip
+    would be a dynamic-length gather — slow on TPU.)
   * scatter = two-stage one-hot matmuls into an aligned 2048-word window
     (positions are unique, the window is previously untouched -> add works)
   * 32-bit state / 16-bit freq division with exact f32 arithmetic: base-256
@@ -73,14 +73,15 @@ def _encode_kernel(end_in_ref, row_n_ref,                # scalar prefetch (SMEM
     scol = jax.lax.broadcasted_iota(jnp.int32, (N, S), 1)             # (N,S)
     ccol16 = jax.lax.broadcasted_iota(jnp.int32, (N, 16), 1)          # (N,16)
     wcol = jax.lax.broadcasted_iota(jnp.int32, (N, 128), 1)           # (N,128)
-    # strict lower-triangular (j < l): EXCLUSIVE prefix sum over lanes
-    tri_ex = (jax.lax.broadcasted_iota(jnp.int32, (N, N), 0) >
-              jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)).astype(jnp.float32)
+    # strict upper-triangular (j > l): rank among flagged lanes DESCENDING
+    # (= scalar push order within a reversed row)
+    tri_desc = (jax.lax.broadcasted_iota(jnp.int32, (N, N), 0) <
+                jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)).astype(jnp.float32)
     cdf_lo = cdf_lo_ref[:].astype(jnp.float32)                         # (S,L)
     cdf_hi = cdf_hi_ref[:].astype(jnp.float32)
 
     def body(i, carry):
-        states, end = carry                                            # (N,1)
+        states, ptr = carry                                            # (N,1)
         t = T - 1 - i                                                  # reverse
         active = lane_col < row_n_ref[t]                               # (N,1)
         idx = idx_ref[t, :].reshape(N, 1)
@@ -104,11 +105,11 @@ def _encode_kernel(end_in_ref, row_n_ref,                # scalar prefetch (SMEM
         flags_f = flags.astype(jnp.float32)
         c = jnp.sum(flags.astype(jnp.int32))
 
-        # exclusive prefix sum: rank among flagged lanes (ascending)
-        rank = jnp.dot(tri_ex, flags_f,
+        # rank among flagged lanes, descending lane order (push order)
+        rank = jnp.dot(tri_desc, flags_f,
                        preferred_element_type=jnp.float32).astype(jnp.int32)
-        base = pl.multiple_of(((end - N) // 1024) * 1024, 1024)
-        target = (end - base) - c + rank                               # (N,1)
+        base = pl.multiple_of((ptr // 1024) * 1024, 1024)
+        target = (ptr - base) + rank                                   # (N,1)
         word = st & MASK16                                             # (N,1)
         # float-arithmetic masking (bool where on wide tiles trips Mosaic i1)
         sel_c_f = (target // 128 == ccol16).astype(jnp.float32) * flags_f
@@ -128,7 +129,7 @@ def _encode_kernel(end_in_ref, row_n_ref,                # scalar prefetch (SMEM
         q, r = _exact_divmod_u32(st, freq)
         new_st = (q << 16) | (r + start)
         states = jnp.where(active, new_st, states)
-        return states, end - c
+        return states, ptr + c
 
     # zero the word buffer: the scatter is add-based (each position written
     # exactly once, but on top of whatever was in the uninitialized output)
@@ -141,10 +142,9 @@ def _encode_kernel(end_in_ref, row_n_ref,                # scalar prefetch (SMEM
     jax.lax.fori_loop(0, W_cap // 2048, zero_chunk, 0)
 
     states0 = states_in_ref[:].reshape(N, 1)
-    end0 = end_in_ref[0]
-    states, end = jax.lax.fori_loop(0, T, body, (states0, end0))
+    states, ptr = jax.lax.fori_loop(0, T, body, (states0, jnp.int32(0)))
     states_out_ref[:] = states.reshape(states_out_ref.shape)
-    end_out_ref[0] = end
+    end_out_ref[0] = ptr
 
 
 @functools.partial(jax.jit, static_argnames=('num_lanes', 'w_cap', 'interpret'))
@@ -160,20 +160,16 @@ def rans_encode_all(syms, indexes, row_n, cdfs, num_lanes=128,
         row_n:   (T,) int32 active lanes per row (N except at block tails)
         cdfs:    (S, L) int32 sentinel-padded CDF rows (prepare_device_cdf)
     Returns:
-        (words_buf (W,) int32 — the stream is words_buf[end:end0],
-         end int32, states (1, N) int32 — the decoder's initial states,
-         end0 int32 — the fixed write origin)
+        (words_buf (W,) int32 — the stream is REVERSE(words_buf[:n_words]),
+         n_words int32, states (1, N) int32 — the decoder's initial states)
     """
     T, N = syms.shape
     S, L = cdfs.shape
     assert N == num_lanes
     if w_cap is None:
         w_cap = T * N  # worst case: one word per symbol
-    # layout: [2048 low pad][capacity][2048 high pad] — the aligned 2048-word
-    # write window may overhang up to 2048 above `end0` and `end` never drops
-    # below 2048, so every window access is in bounds
-    end0 = 2048 + ((w_cap + 2047) // 2048) * 2048
-    W_cap = end0 + 2048
+    # +2048 high pad: the aligned write window may overhang the capacity
+    W_cap = ((w_cap + 2047) // 2048) * 2048 + 2048
     cdf_lo = cdfs & 255
     cdf_hi = _srl(cdfs, 8)
     states0 = jnp.full((1, N), 1 << 16, jnp.int32)
@@ -198,9 +194,9 @@ def rans_encode_all(syms, indexes, row_n, cdfs, num_lanes=128,
             jax.ShapeDtypeStruct((1,), jnp.int32),
         ],
         interpret=interpret,
-    )(jnp.asarray([end0], jnp.int32), jnp.asarray(row_n, jnp.int32),
+    )(jnp.asarray([0], jnp.int32), jnp.asarray(row_n, jnp.int32),
       states0, syms, indexes, cdf_lo, cdf_hi)
-    return words, end[0], states, end0
+    return words, end[0], states
 
 
 def blocks_to_rows(values_per_block, indexes_per_block, N):

@@ -23,8 +23,13 @@ def init_distributed():
     Single-host runs need nothing; multi-host launchers set the standard
     JAX coordination env vars. This replaces torchrun + init_process_group
     (reference: trainer.py:110-121)."""
-    if int(os.environ.get('JAX_PROCESS_COUNT', '1')) > 1 or \
-            'JAX_COORDINATOR_ADDRESS' in os.environ:
+    addr = os.environ.get('JAX_COORDINATOR_ADDRESS')
+    if addr:
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=int(os.environ.get('JAX_NUM_PROCESSES', '1')),
+            process_id=int(os.environ.get('JAX_PROCESS_ID', '0')))
+    elif int(os.environ.get('JAX_PROCESS_COUNT', '1')) > 1:
         jax.distributed.initialize()
 
 

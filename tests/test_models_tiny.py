@@ -316,3 +316,18 @@ def test_qres_fused_coder_bitexact_vs_host(qres_model, image):
     assert (rec_h == rec_f).all()
     # container mirrors the reference layout: [payload, smallest_shape]
     assert isinstance(obj[0], bytes) and len(obj[-1]) == 4
+
+
+def test_qarv_fused_selfcheck_invariant(image):
+    """Decode must reproduce the encode program's own reconstruction bitwise
+    (the fused-codec invariant; validated on TPU by tpu-validate-codec.py)."""
+    import jax.numpy as jnp
+    import lvae_tpu
+    m = lvae_tpu.get_model('qarv_tiny')
+    m.compress_mode(coder='fused')
+    lmb_arr = jnp.full((1,), 512.0, jnp.float32)
+    body, img_enc = m._fused.encode_check(m.params, jnp.asarray(image), lmb_arr)
+    nH, nW = image.shape[1] // 64, image.shape[2] // 64
+    img_dec = np.asarray(m._fused.decode_to_device(
+        m.params, body, nH, nW, lmb_arr))
+    assert (img_dec == img_enc).all()

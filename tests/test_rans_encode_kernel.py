@@ -39,10 +39,11 @@ def _kernel_encode(table, vals, idxs, N=128):
     inband, esc = pre.prepare_inband(jnp.asarray(sym_rows),
                                      jnp.asarray(idx_rows),
                                      table.offsets, table.cdf_lengths)
-    buf, end, st, end0 = pre.rans_encode_all(
+    buf, n_words, st = pre.rans_encode_all(
         inband, jnp.asarray(idx_rows), row_n, jnp.asarray(cdfs_d),
         num_lanes=N, interpret=True)
-    words = np.asarray(buf)[int(end):int(end0)].astype(np.uint16)
+    # the kernel writes in push order; the stream is the reversal
+    words = np.asarray(buf)[:int(n_words)][::-1].astype(np.uint16)
     states = np.asarray(st).reshape(-1).view(np.uint32)
     return words, states
 
