@@ -22,6 +22,9 @@ def main():
     parser.add_argument('-w', '--weights',      type=str, default=None,
                         help='weight file pattern with {lmb} placeholder')
     parser.add_argument('-n', '--dataset_name', type=str, default='kodak')
+    # pad images to <=N shape buckets (bounds XLA compile count on
+    # mixed-shape datasets like CLIC); default: exact /stride padding
+    parser.add_argument('-b', '--shape_buckets', type=int, default=None)
     args = parser.parse_args()
 
     save_json_path = Path(f'runs/results/{args.dataset_name}-{args.model}.json')
@@ -35,7 +38,8 @@ def main():
             kwargs['pretrained'] = args.weights.format(lmb=lmb)
         model = get_model(args.model, **kwargs)
         model.compress_mode()
-        results = imcoding_evaluate(model, args.dataset_name)
+        results = imcoding_evaluate(model, args.dataset_name,
+                                    shape_buckets=args.shape_buckets)
         print(f'lmb={lmb}: {results}')
         for k, v in results.items():
             all_lmb_stats[k].append(v)

@@ -25,6 +25,9 @@ def main():
     parser.add_argument('-l', '--lmb_range',    type=float, default=[16, 2048], nargs='+')
     parser.add_argument('-s', '--steps',        type=int, default=16)
     parser.add_argument('-n', '--dataset_name', type=str, default='kodak')
+    # pad images to <=N shape buckets (bounds XLA compile count on
+    # mixed-shape datasets like CLIC); default: exact /stride padding
+    parser.add_argument('-b', '--shape_buckets', type=int, default=None)
     args = parser.parse_args()
 
     kwargs = parse_model_args(args.model_args)
@@ -42,7 +45,8 @@ def main():
     all_lmb_stats = defaultdict(list)
     for lmb in lambdas:
         model.default_lmb = lmb
-        results = imcoding_evaluate(model, args.dataset_name)
+        results = imcoding_evaluate(model, args.dataset_name,
+                                    shape_buckets=args.shape_buckets)
         print(f'lmb={lmb:.2f}: {results}')
         for k, v in results.items():
             all_lmb_stats[k].append(v)

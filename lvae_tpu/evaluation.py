@@ -39,13 +39,30 @@ def _find_images(dataset):
     return img_paths
 
 
-def imcoding_evaluate(model, dataset: str, progress=True):
+def imcoding_evaluate(model, dataset: str, progress=True, shape_buckets=None):
     """True file round-trip: compress_file -> real file bits ->
-    decompress_file -> PSNR (reference: evaluation.py:15-67)."""
+    decompress_file -> PSNR (reference: evaluation.py:15-67).
+
+    shape_buckets: None = exact /stride padding (reference behavior; one
+    XLA compile per distinct shape). An int N pads every image up to one of
+    <= N bucket shapes so a mixed-shape dataset (CLIC) compiles O(N)
+    programs — bpp still counts real file bits over ORIGINAL pixels, so
+    bucketing trades a little rate for bounded compile time."""
     assert hasattr(model, 'compress_file') and hasattr(model, 'decompress_file')
     img_paths = _find_images(dataset)
+    buckets = None
+    if shape_buckets is not None:
+        from lvae_tpu.utils import coding
+        div = getattr(getattr(model, 'net', model), 'max_stride', 64)
+        sizes = []
+        for p in img_paths:
+            with Image.open(p) as img:
+                sizes.append((img.height, img.width))
+        buckets = coding.choose_shape_buckets(sizes, div=div,
+                                              max_buckets=int(shape_buckets))
     tmp_bits_dir = Path(gettempdir())
     stats_meters = defaultdict(_AverageMeter)
+    compile_shapes = set()
     iterator = img_paths
     if progress:
         try:
@@ -55,7 +72,14 @@ def imcoding_evaluate(model, dataset: str, progress=True):
             pass
     for impath in iterator:
         tmp_bits_path = tmp_bits_dir / f'{impath.stem}.bits'
-        model.compress_file(impath, tmp_bits_path)
+        if buckets is not None:
+            from lvae_tpu.utils import coding
+            with Image.open(impath) as img:
+                pad_hw = coding.bucket_for(img.height, img.width, buckets)
+            compile_shapes.add(pad_hw)
+            model.compress_file(impath, tmp_bits_path, pad_hw=pad_hw)
+        else:
+            model.compress_file(impath, tmp_bits_path)
         num_bits = tmp_bits_path.stat().st_size * 8
         fake = np.asarray(model.decompress_file(tmp_bits_path))[0]
         tmp_bits_path.unlink()
@@ -70,6 +94,10 @@ def imcoding_evaluate(model, dataset: str, progress=True):
         if progress and hasattr(iterator, 'set_description'):
             msg = ', '.join(f'{k}={v:.3f}' for k, v in stats.items())
             iterator.set_description(f'image {impath.stem}: {msg}')
+    if buckets is not None:
+        import logging
+        logging.info(f'imcoding_evaluate shape buckets: {sorted(buckets)}; '
+                     f'{len(compile_shapes)} compile shapes used')
     return {k: m.avg for k, m in stats_meters.items()}
 
 

@@ -883,10 +883,16 @@ class QarvModel(VAEModelBase):
                 feature = fns['plain'](block, bp, feature, emb)
         return np.asarray(fns['finish'](feature), dtype=np.float32)
 
-    def compress_file(self, img_path, output_path, lmb=None):
-        """(reference: qarv/model.py:559-570)"""
+    def compress_file(self, img_path, output_path, lmb=None, pad_hw=None):
+        """(reference: qarv/model.py:559-570). pad_hw: optional (H, W)
+        shape bucket — pads beyond /max_stride so mixed-shape datasets
+        compile O(buckets) programs instead of O(shapes); decode crops back
+        via the stored original size either way."""
         img = Image.open(img_path).convert('RGB')
-        img_padded = coding.pad_divisible_by(img, div=self.net.max_stride)
+        if pad_hw is not None:
+            img_padded = coding.pad_to_shape(img, *pad_hw)
+        else:
+            img_padded = coding.pad_divisible_by(img, div=self.net.max_stride)
         im = image_to_batch(img_padded)
         body_str = self.compress(im, lmb=lmb)
         header_str = struct.pack('2H', img.height, img.width)

@@ -794,11 +794,15 @@ class QresModel(VAEModelBase):
         """Fused decode returning the f16 image ON DEVICE (async)."""
         return self._fused.decode_to_device(self.params, body, fH, fW)
 
-    def compress_file(self, img_path, output_path):
+    def compress_file(self, img_path, output_path, pad_hw=None):
         """Compress an image file (pickle container + original h/w,
-        reference: qresvae/model.py:689-707)."""
+        reference: qresvae/model.py:689-707). pad_hw: optional (H, W)
+        shape bucket (see QarvModel.compress_file)."""
         img = Image.open(img_path).convert('RGB')
-        img_padded = coding.pad_divisible_by(img, div=self.net.max_stride)
+        if pad_hw is not None:
+            img_padded = coding.pad_to_shape(img, *pad_hw)
+        else:
+            img_padded = coding.pad_divisible_by(img, div=self.net.max_stride)
         im = image_to_batch(img_padded)
         compressed_obj = self.compress(im)
         compressed_obj.append((img.height, img.width))

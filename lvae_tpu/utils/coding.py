@@ -181,3 +181,48 @@ class RDList:
         kwargs['linewidth'] = kwargs.get('linewidth', 1.2)
         return ax.plot(stat['bpp'], stat['psnr'], label=stat['label'],
                        markersize=8, linestyle=ls, **kwargs)
+
+
+def pad_to_shape(img: Image.Image, h_tgt: int, w_tgt: int) -> Image.Image:
+    """Edge-pad a PIL image at right/bottom to an exact target shape (shape
+    bucketing for eval: bounds XLA compile count over mixed-shape datasets).
+    Target must be >= the image and divisible by the model stride."""
+    h_old, w_old = img.height, img.width
+    assert h_tgt >= h_old and w_tgt >= w_old, (h_tgt, w_tgt, h_old, w_old)
+    if (h_tgt, w_tgt) == (h_old, w_old):
+        return img
+    arr = np.asarray(img)
+    pad_spec = [(0, h_tgt - h_old), (0, w_tgt - w_old)] + \
+        [(0, 0)] * (arr.ndim - 2)
+    return Image.fromarray(np.pad(arr, pad_spec, mode='edge'))
+
+
+def choose_shape_buckets(sizes, div=64, max_buckets=3):
+    """Pick <= max_buckets padded (H, W) buckets covering all (h, w) sizes.
+
+    Exact /div padding when the dataset has few distinct shapes; otherwise
+    contiguous area-sorted groups with element-wise-max buckets, the last
+    bucket being the global max (so every image fits somewhere)."""
+    padded = sorted({(div * math.ceil(h / div), div * math.ceil(w / div))
+                     for h, w in sizes})
+    if len(padded) <= max_buckets:
+        return padded
+    by_area = sorted(padded, key=lambda s: s[0] * s[1])
+    n = len(by_area)
+    buckets = []
+    for g in range(max_buckets):
+        grp = by_area[g * n // max_buckets:(g + 1) * n // max_buckets]
+        if grp:
+            buckets.append((max(h for h, _ in grp), max(w for _, w in grp)))
+    gmax = (max(h for h, _ in padded), max(w for _, w in padded))
+    if gmax not in buckets:
+        buckets[-1] = gmax
+    return sorted(set(buckets))
+
+
+def bucket_for(h, w, buckets):
+    """Smallest bucket that fits (h, w); the global-max bucket always does."""
+    for bh, bw in buckets:
+        if bh >= h and bw >= w:
+            return bh, bw
+    return buckets[-1]

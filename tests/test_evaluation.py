@@ -34,3 +34,31 @@ def test_image_self_evaluate_qres(img_dir):
     results = image_self_evaluate(m, str(img_dir), progress=False)
     assert 'bppix' in results and 'psnr' in results
     assert np.isfinite(results['loss'])
+
+
+def test_shape_bucketing_bounds_compile_shapes(tmp_path):
+    """Mixed-shape eval with shape_buckets=2 must touch <=2 padded shapes
+    and still round-trip correctly (bpp over ORIGINAL pixels)."""
+    import numpy as np
+    from PIL import Image
+    import lvae_tpu
+    from lvae_tpu.utils import coding
+
+    sizes = [(70, 90), (100, 80), (120, 140), (130, 150)]
+    rng = np.random.default_rng(1)
+    for i, (h, w) in enumerate(sizes):
+        arr = (rng.uniform(0, 1, (h, w, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(tmp_path / f'{i}.png')
+
+    buckets = coding.choose_shape_buckets(sizes, div=64, max_buckets=2)
+    assert len(buckets) <= 2
+    for h, w in sizes:
+        bh, bw = coding.bucket_for(h, w, buckets)
+        assert bh >= h and bw >= w and bh % 64 == 0 and bw % 64 == 0
+
+    from lvae_tpu.evaluation import imcoding_evaluate
+    m = lvae_tpu.get_model('qres_tiny', lmb=128)
+    m.compress_mode(coder='host')
+    stats = imcoding_evaluate(m, str(tmp_path), progress=False,
+                              shape_buckets=2)
+    assert stats['bpp'] > 0 and np.isfinite(stats['psnr'])
