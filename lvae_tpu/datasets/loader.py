@@ -5,6 +5,13 @@ Replaces the reference's torch DataLoader + DistributedSampler
 numpy loader. Multi-host data sharding is index-based: host k of N draws
 only indices congruent to k mod N, re-shuffled every epoch from a shared
 seed — the jax-native equivalent of DistributedSampler + set_epoch.
+
+Determinism: batch composition and augmentation depend only on
+(seed, shard_id, batch_number) — never on thread scheduling. Worker w
+builds exactly the batches with number % workers == w from random-access
+sampler positions, and the consumer drains per-worker queues round-robin
+in batch-number order, so --fixseed runs are bitwise reproducible for any
+worker count (the round-1 shared-iterator design was not).
 """
 import queue
 import threading
@@ -23,11 +30,18 @@ class ShardedSampler:
         self.shard_id = shard_id
         self.seed = seed
         self.epoch = 0
+        # per-epoch shard length (len(range(shard_id, num_items, num_shards)))
+        self.shard_len = len(range(shard_id, num_items, num_shards))
 
     def epoch_indices(self, epoch):
         rng = np.random.default_rng(self.seed + epoch)
         perm = rng.permutation(self.num_items)
         return perm[self.shard_id::self.num_shards]
+
+    def index_at(self, position):
+        """Dataset index at a global stream position (random access)."""
+        epoch, off = divmod(int(position), self.shard_len)
+        return int(self.epoch_indices(epoch)[off])
 
     def __iter__(self):
         while True:
@@ -46,41 +60,61 @@ def make_trainloader(dataset, batch_size: int, workers: int = 2,
 
     workers: number of loader threads (PIL decode releases the GIL for the
     heavy part, so threads are effective without subprocess overhead).
+    Batch `bn` always holds sampler positions [bn*B, (bn+1)*B) augmented
+    with rng(seed, shard, bn), whichever thread builds it.
     """
     sampler = ShardedSampler(len(dataset), num_shards, shard_id, seed)
-    index_iter = iter(sampler)
-    index_lock = threading.Lock()
-    q = queue.Queue(maxsize=max(prefetch, 1))
+    workers = max(workers, 1)
+    per_q = max(prefetch // workers, 1)
+    queues = [queue.Queue(maxsize=per_q) for _ in range(workers)]
     stop = threading.Event()
 
+    def build_batch(bn):
+        rng = np.random.default_rng(
+            (seed + 1) * 100003 + shard_id * 1009 + bn)
+        idxs = [sampler.index_at(bn * batch_size + j)
+                for j in range(batch_size)]
+        return np.stack([dataset.get(i, rng) for i in idxs])
+
     def worker(worker_id):
-        rng = np.random.default_rng((seed + 1) * 100003 + shard_id * 1009 + worker_id)
+        bn = worker_id
         while not stop.is_set():
-            with index_lock:
-                idxs = [next(index_iter) for _ in range(batch_size)]
-            batch = np.stack([dataset.get(i, rng) for i in idxs])
+            batch = build_batch(bn)
             while not stop.is_set():
                 try:
-                    q.put(batch, timeout=0.5)
+                    queues[worker_id].put(batch, timeout=0.5)
                     break
                 except queue.Full:
                     continue
+            bn += workers
 
     threads = [threading.Thread(target=worker, args=(w,), daemon=True)
-               for w in range(max(workers, 1))]
+               for w in range(workers)]
     for t in threads:
         t.start()
 
     class _Loader:
         """Infinite batch iterator with explicit shutdown."""
 
+        def __init__(self):
+            self._bn = 0
+
         def __iter__(self):
             return self
 
         def __next__(self):
-            return q.get()
+            batch = queues[self._bn % workers].get()
+            self._bn += 1
+            # epoch bookkeeping (set_epoch/logging parity)
+            sampler.epoch = (self._bn * batch_size) // sampler.shard_len
+            return batch
 
         def stop(self):
             stop.set()
+            for q in queues:           # unblock producers stuck on put()
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    pass
 
     return _Loader(), sampler

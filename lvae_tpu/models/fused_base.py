@@ -14,6 +14,7 @@ import numpy as np
 
 from lvae_tpu.ops.pallas import rans_decode as prd
 from lvae_tpu.models import common
+from lvae_tpu.utils import coding
 
 _ob = jax.lax.optimization_barrier
 
@@ -65,11 +66,12 @@ class FusedCodecBase:
     def encode(self, params, im, *extra):
         """Run the fused encode program and assemble the payload bytes.
 
-        Payload layout: [3+N scalars/states][packed words (cap)][escape
-        (pos,val) pairs (cap)] — the escape region sits BEHIND the words so
-        the common case (trained weights: ~zero escapes) costs exactly ONE
-        adaptive-prefix pull; untrained/random weights pay a second pull for
-        the escape pairs."""
+        Payload layout: [3+N scalars/states][packed words ((n_words+1)//2)]
+        [escape (pos,val) pairs (n_esc)][slack] — the escape pairs are
+        written ON DEVICE at the dynamic offset right after the words, so
+        header+words+escapes always arrive in ONE adaptive-prefix pull
+        (trained weights: ~zero escapes; untrained weights no longer pay a
+        second 27ms-floor fetch for the escape region)."""
         _, imH, imW, _ = im.shape
         key = (imH, imW)
         if key not in self._enc_cache:
@@ -94,12 +96,11 @@ class FusedCodecBase:
         N, esc_cap = self.N, self.esc_cap
         head_len = 3 + N
         total = int(payload.shape[0])
-        esc_off = total - 2 * esc_cap
         est = self._pull_words.get(key)
         if est is None:
-            take = esc_off                     # first image: all words
+            take = total                       # first image: everything
         else:
-            take = min(head_len + (est + 1) // 2, esc_off)
+            take = min(head_len + (est[0] + 1) // 2 + 2 * est[1], total)
         pulled = np.asarray(payload[:take])
         n_words = int(pulled[0])
         n_esc = int(pulled[1])
@@ -107,24 +108,23 @@ class FusedCodecBase:
             raise OverflowError(
                 f'{n_esc} escapes exceed the fused-codec capacity {esc_cap}; '
                 f'raise esc_cap (compress_mode) or use coder="host"')
-        need = head_len + (n_words + 1) // 2
+        half = (n_words + 1) // 2
+        need = head_len + half + 2 * n_esc
         if need > take:                        # estimate too small: pull rest
             rest = np.asarray(payload[take:need])
             pulled = np.concatenate([pulled, rest])
-        self._pull_words[key] = int(n_words * 1.2) + 64
+        self._pull_words[key] = (int(n_words * 1.2) + 64,
+                                 int(n_esc * 1.2) + 8)
 
         states_u32 = pulled[3:3 + N].copy().view('<u4')
-        packed = np.ascontiguousarray(
-            pulled[head_len:head_len + (n_words + 1) // 2])
+        packed = np.ascontiguousarray(pulled[head_len:head_len + half])
         words16 = packed.view('<u2')[:n_words][::-1]  # push order -> stream
-        if n_esc:
-            esc_pairs = np.asarray(payload[esc_off:esc_off + 2 * n_esc])
-        else:
-            esc_pairs = np.zeros(0, np.int32)
+        esc_pairs = pulled[head_len + half:head_len + half + 2 * n_esc]
 
         out = struct.pack('<IIH', n_words, n_esc, N)
         out += states_u32.tobytes()
-        out += esc_pairs.astype('<i4').tobytes()
+        esc_pairs = esc_pairs.astype(np.int64)
+        out += coding.pack_escapes(esc_pairs[0::2], esc_pairs[1::2])
         out += words16.astype('<u2').tobytes()
         return out
 
@@ -142,8 +142,8 @@ class FusedCodecBase:
         assert lanes == N, f'stream lanes {lanes} != configured {N}'
         off = 10
         states = np.frombuffer(body[off:off + 4 * N], '<u4'); off += 4 * N
-        esc = np.frombuffer(body[off:off + 8 * n_esc], '<i4').reshape(-1, 2)
-        off += 8 * n_esc
+        e_pos, e_val, consumed = coding.unpack_escapes(body[off:], n_esc)
+        off += consumed
         words = np.frombuffer(body[off:off + 2 * n_words], '<u2')
 
         wb = self._word_bucket(n_words)
@@ -158,8 +158,8 @@ class FusedCodecBase:
             eb *= 2
         esc_pos = np.full(eb, -1, np.int32)
         esc_val = np.zeros(eb, np.int32)
-        esc_pos[:n_esc] = esc[:, 0]
-        esc_val[:n_esc] = esc[:, 1]
+        esc_pos[:n_esc] = e_pos
+        esc_val[:n_esc] = e_val
         return (states.view(np.int32).reshape(1, N).copy(), packed,
                 esc_pos, esc_val)
 
@@ -228,5 +228,11 @@ class FusedCodecBase:
         ])
         esc_pairs = jnp.stack([esc_pos.astype(jnp.int32),
                                esc_val.astype(jnp.int32)], axis=1).reshape(-1)
-        # escapes LAST: the common (trained) case has none and never pulls them
-        return jnp.concatenate([head, packed, esc_pairs])
+        # write the escape pairs at the dynamic offset right after the words
+        # so header+words+escapes arrive in ONE adaptive host pull (the body
+        # keeps the full static capacity; the pull stops after the escapes)
+        body = jnp.concatenate([packed,
+                                jnp.zeros(esc_pairs.shape[0], jnp.int32)])
+        body = jax.lax.dynamic_update_slice(
+            body, esc_pairs, ((n_words + 1) // 2,))
+        return jnp.concatenate([head, body])

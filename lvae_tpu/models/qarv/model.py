@@ -428,8 +428,23 @@ class QarvModel(VAEModelBase):
                  'mse': jnp.mean(distortion), 'mse_im': im_mse}
         return loss, stats
 
+    def _check_input(self, im, raw=None):
+        """Clear errors instead of opaque XLA reshape failures
+        (reference asserts: qarv/model.py:219-220)."""
+        assert im.ndim == 4 and im.shape[3] == 3, \
+            f'expected NHWC rgb input, got {im.shape=}'
+        s = self.net.max_stride
+        assert im.shape[1] % s == 0 and im.shape[2] % s == 0, \
+            f'input H/W {im.shape[1:3]} must be divisible by {s} ' \
+            f'(use compress_file / pad_divisible_by for arbitrary sizes)'
+        if isinstance(raw, np.ndarray):  # host data: range check is cheap
+            assert raw.min() >= 0.0 and raw.max() <= 1.0, \
+                'input values must be in [0, 1]'
+
     def forward(self, im, lmb=None, return_rec=False):
+        raw = im
         im = to_nhwc_batch(im)
+        self._check_input(im, raw=raw)
         nB = im.shape[0]
         if lmb is None:
             lmb = self.default_lmb
@@ -698,7 +713,9 @@ class QarvModel(VAEModelBase):
     def compress(self, im, lmb=None):
         """Compress one image -> bytes (reference: qarv/model.py:516-529)."""
         assert self.compressing, 'call compress_mode() first'
+        raw = im
         im = to_nhwc_batch(im)
+        self._check_input(im, raw=raw)
         nB, imH, imW, _ = im.shape
         assert nB == 1, f'only a single image is supported, got {im.shape=}'
         lmb = float(lmb) if lmb is not None else float(self.default_lmb)
@@ -762,7 +779,8 @@ class QarvModel(VAEModelBase):
 
     def _encode_interleaved(self, syms_per_block, idx_per_block):
         """N-lane interleaved payload (decoded on device):
-        [I n_words][H n_escapes][H num_lanes][states][words][escape pairs]."""
+        [I n_words][I n_escapes][H num_lanes][states][words][escape varints]
+        (escapes: delta-pos + zigzag-val LEB128, coding.pack_escapes)."""
         from lvae_tpu.ops import crans
         N = self.num_lanes
         states, words, escapes = crans.interleaved_encode(
@@ -772,7 +790,7 @@ class QarvModel(VAEModelBase):
         out = struct.pack('<IIH', words.size, len(escapes), N)
         out += states.astype('<u4').tobytes()
         out += words.astype('<u2').tobytes()
-        out += escapes.astype('<i8').tobytes()
+        out += coding.pack_escapes(escapes[:, 0], escapes[:, 1])
         return out
 
     def decompress(self, string):
@@ -839,8 +857,7 @@ class QarvModel(VAEModelBase):
         states = np.frombuffer(payload[off:off + 4 * N], '<u4'); off += 4 * N
         words = np.frombuffer(payload[off:off + 2 * n_words], '<u2')
         off += 2 * n_words
-        escapes = np.frombuffer(payload[off:off + 16 * n_esc],
-                                '<i8').reshape(-1, 2)
+        esc_p, esc_v, _ = coding.unpack_escapes(payload[off:], n_esc)
 
         fns, params = self._stage_fns, self.params
         stream_d = jnp.asarray(words.astype(np.int32))
@@ -849,8 +866,8 @@ class QarvModel(VAEModelBase):
             kpad = max(8, 1 << (int(n_esc - 1).bit_length()))
             esc_pos = np.full(kpad, -1, np.int32)
             esc_val = np.zeros(kpad, np.int32)
-            esc_pos[:n_esc] = escapes[:, 0]
-            esc_val[:n_esc] = escapes[:, 1]
+            esc_pos[:n_esc] = esc_p
+            esc_val[:n_esc] = esc_v
             esc_pos_d = jnp.asarray(esc_pos)
             esc_val_d = jnp.asarray(esc_val)
         ptr = jnp.int32(0)

@@ -417,8 +417,9 @@ class QresModel(VAEModelBase):
     def forward(self, im, return_rec=False):
         """Eval/inspection forward; accepts numpy/PIL-sourced batches in [0,1].
         Returns a stats dict like the reference forward (qresvae/model.py:517-569)."""
+        raw = im
         im = to_nhwc_batch(im)
-        self._check_input(im)
+        self._check_input(im, raw=raw)
         loss, stats = self._jit_eval_forward(self.params, im)
         stats = {k: float(v) for k, v in stats.items()}
         stats['psnr'] = -10 * math.log10(max(stats.pop('mse_im'), 1e-12))
@@ -426,10 +427,18 @@ class QresModel(VAEModelBase):
             stats['im_hat'] = np.asarray(self._jit_reconstruct(self.params, im))
         return stats
 
-    def _check_input(self, im):
-        assert im.ndim == 4 and im.shape[3] == 3
-        assert im.shape[1] % self.net.max_stride == 0
-        assert im.shape[2] % self.net.max_stride == 0
+    def _check_input(self, im, raw=None):
+        """Clear errors instead of opaque XLA reshape failures
+        (reference asserts: qresvae/model.py:490-492)."""
+        assert im.ndim == 4 and im.shape[3] == 3, \
+            f'expected NHWC rgb input, got {im.shape=}'
+        s = self.net.max_stride
+        assert im.shape[1] % s == 0 and im.shape[2] % s == 0, \
+            f'input H/W {im.shape[1:3]} must be divisible by {s} ' \
+            f'(use compress_file / pad_divisible_by for arbitrary sizes)'
+        if isinstance(raw, np.ndarray):  # host data: range check is cheap
+            assert raw.min() >= 0.0 and raw.max() <= 1.0, \
+                'input values must be in [0, 1]'
 
     @property
     def _jit_eval_forward(self):
@@ -611,8 +620,9 @@ class QresModel(VAEModelBase):
         (+ lossless head strings), matching the reference container layout
         (reference: qresvae/model.py:649-668)."""
         assert self.compressing, 'call compress_mode() first'
+        raw = im
         im = to_nhwc_batch(im)
-        self._check_input(im)
+        self._check_input(im, raw=raw)
         if getattr(self, 'coder_kind', 'host') == 'fused':
             assert im.shape[0] == 1, 'fused coder supports single images'
             nH = im.shape[1] // self.net.max_stride
@@ -671,7 +681,7 @@ class QresModel(VAEModelBase):
                                    self.num_lanes)
             payload += states.astype('<u4').tobytes()
             payload += words.astype('<u2').tobytes()
-            payload += escapes.astype('<i8').tobytes()
+            payload += coding.pack_escapes(escapes[:, 0], escapes[:, 1])
             compressed.append(payload)
         else:
             for syms, idx in zip(syms_per_block, idx_per_block):
@@ -725,8 +735,7 @@ class QresModel(VAEModelBase):
             off += 4 * N
             d_words = np.frombuffer(payload[off:off + 2 * n_words], '<u2')
             off += 2 * n_words
-            d_escapes = np.frombuffer(payload[off:off + 16 * n_esc],
-                                      '<i8').reshape(-1, 2)
+            d_esc_p, d_esc_v, _ = coding.unpack_escapes(payload[off:], n_esc)
             stream_d = jnp.asarray(d_words.astype(np.int32))
             states_d = jnp.asarray(d_states.view(np.int32).reshape(1, N).copy())
             ptr = jnp.int32(0)
@@ -734,8 +743,8 @@ class QresModel(VAEModelBase):
                 kpad = max(8, 1 << int(n_esc - 1).bit_length())
                 e_pos = np.full(kpad, -1, np.int32)
                 e_val = np.zeros(kpad, np.int32)
-                e_pos[:n_esc] = d_escapes[:, 0]
-                e_val[:n_esc] = d_escapes[:, 1]
+                e_pos[:n_esc] = d_esc_p
+                e_val[:n_esc] = d_esc_v
                 e_pos_d, e_val_d = jnp.asarray(e_pos), jnp.asarray(e_val)
             gstart = 0
         str_i = 0

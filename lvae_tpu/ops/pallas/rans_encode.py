@@ -7,9 +7,11 @@ CPU-resident compressai coder, reference qarv/model.py:104-113).
 
 Construction (mirrors the decode kernel in rans_decode.py):
   * rows of N symbols processed in REVERSE row order (rANS encodes backwards)
-  * per row: gather (start, freq) from the byte-split CDF tables with one-hot
-    MXU matmuls (f32 one-hot matmuls are exact only for <=8-bit payloads,
-    hence the lo/hi byte split)
+  * (start, freq) per symbol depend only on (index, symbol) — both known
+    before coding — so they are gathered OUTSIDE the kernel in one exact
+    int32 XLA gather over all T*N symbols; the sequential loop body is pure
+    state arithmetic + word scatter (round-1 gathered tables per row with
+    one-hot MXU matmuls inside the loop, which dominated encode latency)
   * renorm flag = (state >> 16) >= freq; flagged lanes emit their low 16 bits
   * word placement: the scalar encoder pushes words lane-DESCENDING within a
     reversed row and finally reverses the whole list. The kernel writes in
@@ -64,40 +66,28 @@ def _exact_divmod_u32(st, freq):
 
 
 def _encode_kernel(end_in_ref, row_n_ref,                # scalar prefetch (SMEM)
-                   states_in_ref, syms_ref, idx_ref,
-                   cdf_lo_ref, cdf_hi_ref,
+                   states_in_ref, start_ref, freq_ref,
                    words_ref, states_out_ref, end_out_ref,
-                   *, N, S, L, T):
+                   *, N, T):
+    # (start, freq) per symbol are gathered OUTSIDE the kernel (one XLA
+    # gather over all T*N symbols — they depend only on (index, symbol),
+    # both known before encoding). Round-1 re-gathered them per row with
+    # (N,S)@(S,L) one-hot matmuls inside this sequential loop, which
+    # dominated the kernel's runtime.
     lane_col = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)         # (N,1)
-    lcol = jax.lax.broadcasted_iota(jnp.int32, (N, L), 1)             # (N,L)
-    scol = jax.lax.broadcasted_iota(jnp.int32, (N, S), 1)             # (N,S)
     ccol16 = jax.lax.broadcasted_iota(jnp.int32, (N, 16), 1)          # (N,16)
     wcol = jax.lax.broadcasted_iota(jnp.int32, (N, 128), 1)           # (N,128)
     # strict upper-triangular (j > l): rank among flagged lanes DESCENDING
     # (= scalar push order within a reversed row)
     tri_desc = (jax.lax.broadcasted_iota(jnp.int32, (N, N), 0) <
                 jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)).astype(jnp.float32)
-    cdf_lo = cdf_lo_ref[:].astype(jnp.float32)                         # (S,L)
-    cdf_hi = cdf_hi_ref[:].astype(jnp.float32)
 
     def body(i, carry):
         states, ptr = carry                                            # (N,1)
         t = T - 1 - i                                                  # reverse
         active = lane_col < row_n_ref[t]                               # (N,1)
-        idx = idx_ref[t, :].reshape(N, 1)
-        sym = syms_ref[t, :].reshape(N, 1)   # in-band symbol (esc pre-clipped)
-
-        onehot_s = (idx == scol).astype(jnp.float32)                   # (N,S)
-        rows_lo = jnp.dot(onehot_s, cdf_lo,
-                          preferred_element_type=jnp.float32)          # (N,L)
-        rows_hi = jnp.dot(onehot_s, cdf_hi,
-                          preferred_element_type=jnp.float32)
-        rows = rows_hi.astype(jnp.int32) * 256 + rows_lo.astype(jnp.int32)
-        start = jnp.sum(jnp.where(lcol == sym, rows, 0), axis=1,
-                        keepdims=True)                                 # (N,1)
-        cdf_next = jnp.sum(jnp.where(lcol == (sym + 1), rows, 0), axis=1,
-                           keepdims=True)
-        freq = cdf_next - start                                        # (N,1)
+        start = start_ref[t, :].reshape(N, 1)
+        freq = freq_ref[t, :].reshape(N, 1)
         freq = jnp.where(active, freq, 1)  # keep inactive lanes benign
 
         st = states
@@ -105,25 +95,29 @@ def _encode_kernel(end_in_ref, row_n_ref,                # scalar prefetch (SMEM
         flags_f = flags.astype(jnp.float32)
         c = jnp.sum(flags.astype(jnp.int32))
 
-        # rank among flagged lanes, descending lane order (push order)
-        rank = jnp.dot(tri_desc, flags_f,
-                       preferred_element_type=jnp.float32).astype(jnp.int32)
-        base = pl.multiple_of((ptr // 1024) * 1024, 1024)
-        target = (ptr - base) + rank                                   # (N,1)
-        word = st & MASK16                                             # (N,1)
-        # float-arithmetic masking (bool where on wide tiles trips Mosaic i1)
-        sel_c_f = (target // 128 == ccol16).astype(jnp.float32) * flags_f
-        in_sel = (target - (target // 128) * 128 == wcol)              # (N,128)
-        w_lo = jnp.where(flags, (word & 255), 0).astype(jnp.float32)
-        w_hi = jnp.where(flags, _srl(word, 8), 0).astype(jnp.float32)
-        in_f = in_sel.astype(jnp.float32)
-        add_lo = jnp.dot(sel_c_f.T, in_f * w_lo,
-                         preferred_element_type=jnp.float32)           # (16,128)
-        add_hi = jnp.dot(sel_c_f.T, in_f * w_hi,
-                         preferred_element_type=jnp.float32)
-        add = (add_hi.astype(jnp.int32) * 256 + add_lo.astype(jnp.int32))
-        cur = words_ref[pl.ds(base, 2048)].reshape(16, 128)
-        words_ref[pl.ds(base, 2048)] = (cur + add).reshape(2048)
+        @pl.when(c > 0)   # rows with no renorm skip the window RMW entirely
+        def write_words():
+            # rank among flagged lanes, descending lane order (push order)
+            rank = jnp.dot(tri_desc, flags_f,
+                           preferred_element_type=jnp.float32).astype(jnp.int32)
+            base = pl.multiple_of((ptr // 1024) * 1024, 1024)
+            target = (ptr - base) + rank                               # (N,1)
+            word = st & MASK16                                         # (N,1)
+            # float-arithmetic masking (bool where on wide tiles trips
+            # Mosaic i1)
+            sel_c_f = (target // 128 == ccol16).astype(jnp.float32) * flags_f
+            in_sel = (target - (target // 128) * 128 == wcol)          # (N,128)
+            w_lo = jnp.where(flags, (word & 255), 0).astype(jnp.float32)
+            w_hi = jnp.where(flags, _srl(word, 8), 0).astype(jnp.float32)
+            in_f = in_sel.astype(jnp.float32)
+            add_lo = jnp.dot(sel_c_f.T, in_f * w_lo,
+                             preferred_element_type=jnp.float32)       # (16,128)
+            add_hi = jnp.dot(sel_c_f.T, in_f * w_hi,
+                             preferred_element_type=jnp.float32)
+            add = (add_hi.astype(jnp.int32) * 256 + add_lo.astype(jnp.int32))
+            cur = words_ref[pl.ds(base, 2048)].reshape(16, 128)
+            words_ref[pl.ds(base, 2048)] = (cur + add).reshape(2048)
+
         st = jnp.where(flags, _srl(st, 16), st)
 
         q, r = _exact_divmod_u32(st, freq)
@@ -142,7 +136,8 @@ def _encode_kernel(end_in_ref, row_n_ref,                # scalar prefetch (SMEM
     jax.lax.fori_loop(0, W_cap // 2048, zero_chunk, 0)
 
     states0 = states_in_ref[:].reshape(N, 1)
-    states, ptr = jax.lax.fori_loop(0, T, body, (states0, jnp.int32(0)))
+    states, ptr = jax.lax.fori_loop(0, T, body, (states0, jnp.int32(0)),
+                                    unroll=4)
     states_out_ref[:] = states.reshape(states_out_ref.shape)
     end_out_ref[0] = ptr
 
@@ -170,15 +165,19 @@ def rans_encode_all(syms, indexes, row_n, cdfs, num_lanes=128,
         w_cap = T * N  # worst case: one word per symbol
     # +2048 high pad: the aligned write window may overhang the capacity
     W_cap = ((w_cap + 2047) // 2048) * 2048 + 2048
-    cdf_lo = cdfs & 255
-    cdf_hi = _srl(cdfs, 8)
     states0 = jnp.full((1, N), 1 << 16, jnp.int32)
 
-    kernel = functools.partial(_encode_kernel, N=N, S=S, L=L, T=T)
+    # (start, freq) per symbol: ONE vectorized XLA gather over all T*N
+    # symbols — exact int32, keeps the sequential kernel loop free of the
+    # (N,S)@(S,L) table matmuls that dominated round-1 encode latency
+    start = cdfs[indexes, syms]                                       # (T,N)
+    freq = cdfs[indexes, syms + 1] - start
+
+    kernel = functools.partial(_encode_kernel, N=N, T=T)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(1,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # words buffer
             pl.BlockSpec(memory_space=pltpu.VMEM),   # states out
@@ -195,7 +194,7 @@ def rans_encode_all(syms, indexes, row_n, cdfs, num_lanes=128,
         ],
         interpret=interpret,
     )(jnp.asarray([0], jnp.int32), jnp.asarray(row_n, jnp.int32),
-      states0, syms, indexes, cdf_lo, cdf_hi)
+      states0, start, freq)
     return words, end[0], states
 
 

@@ -53,8 +53,10 @@ class BaseTrainingWrapper:
         self._moving_grad_norm_buffer = utils.MaxLengthList(
             max_len=self.grad_norm_interval)
         self.wandb_log_keys = set()
-        header = ['Epoch', 'Iter', 'Mem', 'lr', 'grad']
+        header = ['Epoch', 'Iter', 'Mem', 'lr', 'grad', 'img/s', 'MFU%']
         self.stats_table = utils.SimpleTable(header)
+        self._step_flops = None
+        self._step_dt_ema = None
 
         parallel.init_distributed()
         self.world_size = jax.process_count()
@@ -248,6 +250,35 @@ class BaseTrainingWrapper:
             id=rid, resume='allow', mode=cfg.wbmode)
         utils.print_to_file(self.wbrun.id, fpath=wbid_path, mode='a')
 
+    # -------------------------------------------------------------- MFU
+    _PEAK_FLOPS = (  # per-chip dense peak (bf16 matmul), by device_kind match
+        ('v5 lite', 197e12), ('v5e', 197e12), ('v5p', 459e12),
+        ('v4', 275e12), ('v6', 918e12),
+    )
+
+    def _estimate_step_flops(self, batch, rng):
+        """XLA's own FLOP count for the compiled train step (the executable
+        is shared with the real step, so this costs nothing extra). Replaces
+        the reference's torch.profiler FLOPs accounting for MFU."""
+        try:
+            compiled = self._train_step.lower(
+                self.state, batch, rng, jnp.float32(0.0), jnp.float32(1e9),
+                jnp.float32(0.5)).compile()
+            cost = compiled.cost_analysis()
+            if isinstance(cost, list):
+                cost = cost[0]
+            return float(cost.get('flops', float('nan')))
+        except Exception as e:
+            logging.warning(f'step-FLOPs estimate unavailable: {e}')
+            return float('nan')
+
+    def _peak_flops_total(self):
+        kind = jax.devices()[0].device_kind.lower()
+        for key, peak in self._PEAK_FLOPS:
+            if key in kind:
+                return peak * jax.device_count()
+        return float('nan')
+
     # ------------------------------------------------------------- main loop
     def training_loops(self):
         cfg = self.cfg
@@ -264,6 +295,7 @@ class BaseTrainingWrapper:
                                  else int(time.time()))
         lr_now = cfg.lr * lr_factor(self._cur_iter, cfg.iterations,
                                     cfg.lr_sched, cfg.lr_warmup, cfg.lrf_min)
+        t_prev = None
         for step in pbar:
             self._cur_iter = step
             self._cur_epoch = step / self._epoch_len
@@ -272,6 +304,7 @@ class BaseTrainingWrapper:
                     and step % cfg.model_val_interval == 0 \
                     and (step > 0 or cfg.eval_first):
                 self.evaluate()
+                t_prev = None          # eval time must not pollute img/s
 
             if step % 10 == 0:
                 lr_now = cfg.lr * lr_factor(step, cfg.iterations, cfg.lr_sched,
@@ -280,6 +313,14 @@ class BaseTrainingWrapper:
             batch = next(self.trainloader)
             batch = parallel.shard_batch(batch, self.mesh)
             rng, step_rng = jax.random.split(rng)
+            if self._step_flops is None:
+                self._step_flops = self._estimate_step_flops(batch, step_rng)
+                self._peak_flops = self._peak_flops_total()
+                if self._step_flops == self._step_flops:
+                    logging.info(
+                        f'train step = {self._step_flops / 1e9:.1f} GFLOPs '
+                        f'(XLA cost analysis)')
+                t_prev = None          # first step pays compile; don't count
             median = self._moving_grad_norm_buffer.median() or 1e9
             warmup = cfg.ema_warmup or max(cfg.iterations // 20, 1)
             ema_decay = cfg.ema_decay * (1 - math.exp(-max(step, 1) / warmup))
@@ -290,6 +331,12 @@ class BaseTrainingWrapper:
 
             # host-side bookkeeping (pulls scalars; async until here)
             metrics = {k: float(v) for k, v in metrics.items()}
+            t_now = time.perf_counter()
+            if t_prev is not None:
+                dt = t_now - t_prev
+                self._step_dt_ema = dt if self._step_dt_ema is None else \
+                    0.9 * self._step_dt_ema + 0.1 * dt
+            t_prev = t_now
             self._moving_grad_norm_buffer.add(metrics['grad_norm'])
             if not math.isfinite(metrics['loss']):
                 logging.error(f'loss = {metrics["loss"]} at step {step}')
@@ -323,6 +370,12 @@ class BaseTrainingWrapper:
         self.stats_table['Mem'] = f'{mem:.3g}G'
         self.stats_table['lr'] = lr_now
         self.stats_table['grad'] = self._moving_grad_norm_buffer.current()
+        if self._step_dt_ema:
+            imgs = cfg.batch_size * self.world_size / self._step_dt_ema
+            self.stats_table['img/s'] = f'{imgs:.1f}'
+            mfu = self._step_flops / self._step_dt_ema / self._peak_flops
+            self.stats_table['MFU%'] = f'{100 * mfu:.1f}' \
+                if mfu == mfu else 'n/a'
         for k, v in metrics.items():
             if k == 'grad_norm':
                 continue
@@ -340,6 +393,23 @@ class BaseTrainingWrapper:
 
     def periodic_log(self, batch):
         cfg = self.cfg
+        if self._cur_iter % cfg.wandb_log_interval == 0:
+            # file-based metric history (loss-curve artifact; works without
+            # wandb — one JSON line per log interval in the run dir)
+            rec = {'iter': self._cur_iter,
+                   'lr': float(self.stats_table['lr']),
+                   'grad_norm': self._moving_grad_norm_buffer.current()}
+            for k in self.wandb_log_keys:
+                rec[k] = float(self.stats_table[k])
+            if self._step_dt_ema:
+                rec['img_per_s'] = round(
+                    cfg.batch_size * self.world_size / self._step_dt_ema, 2)
+                if self._step_flops == self._step_flops and \
+                        self._peak_flops == self._peak_flops:
+                    rec['mfu'] = round(self._step_flops / self._step_dt_ema
+                                       / self._peak_flops, 4)
+            with open(self._log_dir / 'train_log.jsonl', 'a') as f:
+                f.write(json.dumps(rec) + '\n')
         if self._cur_iter % cfg.model_log_interval == 0 and \
                 hasattr(self.model, 'study'):
             self._sync_model_params()

@@ -50,6 +50,79 @@ def unpack_byte_string(string):
 
 
 # ---------------------------------------------------------------------------
+# Escape-record serialization (device-coder streams)
+#
+# The interleaved device coder stores out-of-range symbols out-of-band as
+# (global position, true value) records. A fixed-width encoding (round-1 used
+# int64 pairs = 16 B/escape) charges the stream for the astronomically-common
+# case where values are tiny and positions ascend; here positions are
+# delta-coded and both fields are LEB128 varints (values zigzag-mapped), so a
+# typical escape costs 2-4 bytes. All loops below are vectorized over the
+# BYTE-POSITION axis (<=10 iterations), not over records.
+# ---------------------------------------------------------------------------
+
+def leb128_encode(vals: np.ndarray) -> bytes:
+    """LEB128-encode a 1-D array of unsigned integers (vectorized)."""
+    v = np.asarray(vals).astype(np.uint64)
+    if v.size == 0:
+        return b''
+    nbytes = np.ones(v.size, np.int64)
+    t = v >> np.uint64(7)
+    while (t > 0).any():
+        nbytes[t > 0] += 1
+        t >>= np.uint64(7)
+    maxlen = int(nbytes.max())
+    j = np.arange(maxlen)
+    emit = j[None, :] < nbytes[:, None]
+    shifts = (np.uint64(7) * j.astype(np.uint64))[None, :]
+    mat = ((v[:, None] >> shifts) & np.uint64(0x7F)).astype(np.uint8)
+    mat[(j[None, :] + 1) < nbytes[:, None]] |= 0x80
+    return mat[emit].tobytes()
+
+
+def leb128_decode(buf: bytes, count: int):
+    """Decode `count` LEB128 varints. Returns (uint64 array, bytes consumed)."""
+    if count == 0:
+        return np.zeros(0, np.uint64), 0
+    b = np.frombuffer(buf, np.uint8)
+    term = np.nonzero((b & 0x80) == 0)[0]
+    assert len(term) >= count, 'truncated varint stream'
+    consumed = int(term[count - 1]) + 1
+    b = b[:consumed]
+    starts = np.concatenate([[0], term[:count - 1] + 1])
+    vid = np.zeros(consumed, np.int64)
+    vid[starts[1:]] = 1
+    vid = np.cumsum(vid)
+    pos_in_val = np.arange(consumed) - starts[vid]
+    vals = np.zeros(count, np.uint64)
+    np.add.at(vals, vid,
+              (b & np.uint8(0x7F)).astype(np.uint64)
+              << (np.uint64(7) * pos_in_val.astype(np.uint64)))
+    return vals, consumed
+
+
+def pack_escapes(pos: np.ndarray, val: np.ndarray) -> bytes:
+    """Serialize escape records: delta-coded positions then zigzag values,
+    both LEB128. `pos` must be non-decreasing (scan order)."""
+    pos = np.asarray(pos, np.int64)
+    val = np.asarray(val, np.int64)
+    deltas = np.diff(pos, prepend=np.int64(0))
+    assert (deltas >= 0).all(), 'escape positions must be non-decreasing'
+    zig = (val << 1) ^ (val >> 63)          # zigzag: sign -> LSB
+    return leb128_encode(deltas) + leb128_encode(zig.astype(np.uint64))
+
+
+def unpack_escapes(buf: bytes, count: int):
+    """Inverse of pack_escapes. Returns (pos int64, val int64, consumed)."""
+    deltas, c1 = leb128_decode(buf, count)
+    zig, c2 = leb128_decode(buf[c1:], count)
+    pos = np.cumsum(deltas.astype(np.int64))
+    zig = zig.astype(np.int64)
+    val = (zig >> 1) ^ -(zig & 1)
+    return pos, val, c1 + c2
+
+
+# ---------------------------------------------------------------------------
 # Image padding / cropping to stride multiples
 # ---------------------------------------------------------------------------
 

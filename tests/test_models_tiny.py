@@ -124,9 +124,11 @@ def test_qarv_bitstream_roundtrip(qarv_model, image):
 
 
 def test_qarv_bitstream_header_layout(qarv_model, image):
+    """Reference-compatible stream container (coder='host'): struct headers
+    + pack_byte_strings body (reference: qarv/model.py:516-570)."""
     import struct
     m = qarv_model
-    m.compress_mode()
+    m.compress_mode(coder='host')
     s = m.compress(image, lmb=333.0)
     lmb = struct.unpack('f', s[:4])[0]
     nB, nH, nW = struct.unpack('3H', s[4:10])
@@ -331,3 +333,34 @@ def test_qarv_fused_selfcheck_invariant(image):
     img_dec = np.asarray(m._fused.decode_to_device(
         m.params, body, nH, nW, lmb_arr))
     assert (img_dec == img_enc).all()
+
+
+def test_qarv_fused_bf16_selfconsistent(image):
+    """bf16 inference/coding mode: the decode program must still reproduce
+    the encode program's reconstruction bitwise (prior/index math stays f32
+    inside entropy_coding; conv stacks run bf16). Rate differs from the f32
+    host path by design — bit-exactness is WITHIN the bf16 stream."""
+    import jax.numpy as jnp
+    import lvae_tpu
+    m = lvae_tpu.get_model('qarv_tiny')
+    m.compress_mode(coder='fused', compute_dtype='bfloat16')
+    obj = m.compress(image, lmb=512)
+    assert obj == m.compress(image, lmb=512)      # deterministic stream
+    rec = m.decompress(obj)
+    lmb_arr = jnp.full((1,), 512.0, jnp.float32)
+    _, img_enc = m._fused.encode_check(m.params, jnp.asarray(image), lmb_arr)
+    assert (rec == img_enc.astype(np.float32)).all()
+
+
+def test_input_validation_clear_errors(image):
+    """Bad inputs raise clear asserts, not opaque XLA reshape errors
+    (reference asserts: qarv/model.py:219-220, qresvae/model.py:490-492)."""
+    import lvae_tpu
+    m = lvae_tpu.get_model('qarv_tiny')
+    with pytest.raises(AssertionError, match='divisible'):
+        m.forward(np.zeros((1, 100, 140, 3), np.float32))
+    with pytest.raises(AssertionError, match=r'\[0, 1\]'):
+        m.forward(np.full((1, 128, 128, 3), 2.0, np.float32))
+    m.compress_mode(coder='host')
+    with pytest.raises(AssertionError, match='divisible'):
+        m.compress(np.zeros((1, 100, 140, 3), np.float32), lmb=512)

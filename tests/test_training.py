@@ -175,3 +175,30 @@ def test_bd_rate_known_value():
     # uniformly 10% cheaper curve -> -10%
     r2 = [x * 0.9 for x in r]
     assert abs(bd_rate(r, p, r2, p) - (-10.0)) < 1e-6
+
+
+def test_loader_determinism_across_worker_counts(tmp_path):
+    """--fixseed reproducibility: batch stream depends only on
+    (seed, shard, batch_number), not on worker count or thread timing
+    (round-1 used a shared index iterator and was scheduling-dependent)."""
+    from PIL import Image
+    from lvae_tpu.datasets import get_image_dateset, make_trainloader
+    rng = np.random.default_rng(3)
+    d = tmp_path / 'imgs'
+    d.mkdir()
+    for i in range(5):
+        arr = rng.integers(0, 255, (80, 96, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(d / f'im{i}.png')
+    ds = get_image_dateset(str(d), transform_cfg='crop=64,hflip=True')
+
+    def first_batches(workers, n=6):
+        loader, _ = make_trainloader(ds, batch_size=2, workers=workers,
+                                     seed=7)
+        out = [next(loader).copy() for _ in range(n)]
+        loader.stop()
+        return out
+
+    a = first_batches(1)
+    b = first_batches(3)
+    for x, y in zip(a, b):
+        assert np.array_equal(x, y)

@@ -70,3 +70,39 @@ def test_get_object_size():
     n = coding.get_object_size([b'123'], unit='bytes')
     assert n > 0
     assert coding.get_object_size([b'123'], unit='bits') == n * 8
+
+
+def test_leb128_roundtrip():
+    rng = np.random.default_rng(0)
+    vals = np.concatenate([
+        np.array([0, 1, 127, 128, 16383, 16384, 2**32 - 1, 2**40], np.uint64),
+        rng.integers(0, 2**34, 200).astype(np.uint64)])
+    buf = coding.leb128_encode(vals)
+    out, consumed = coding.leb128_decode(buf + b'\x05\x05', len(vals))
+    assert consumed == len(buf)
+    assert np.array_equal(out, vals)
+    assert coding.leb128_encode(np.zeros(0, np.uint64)) == b''
+
+
+def test_pack_escapes_roundtrip_and_size():
+    rng = np.random.default_rng(1)
+    n = 500
+    pos = np.sort(rng.integers(0, 400_000, n)).astype(np.int64)
+    val = rng.integers(-70_000, 70_000, n).astype(np.int64)
+    buf = coding.pack_escapes(pos, val)
+    p2, v2, consumed = coding.unpack_escapes(buf + b'trailing', n)
+    assert consumed == len(buf)
+    assert np.array_equal(p2, pos) and np.array_equal(v2, val)
+    # compactness: typical escape record ~2-4 bytes (round-1 format was 16)
+    assert len(buf) < 8 * n
+    # empty
+    assert coding.pack_escapes(np.zeros(0), np.zeros(0)) == b''
+    p0, v0, c0 = coding.unpack_escapes(b'', 0)
+    assert c0 == 0 and p0.size == 0 and v0.size == 0
+
+
+def test_pack_escapes_duplicate_and_boundary_positions():
+    pos = np.array([0, 0, 5, 5, 5, 1 << 31], np.int64)
+    val = np.array([-1, 2**31 - 1, -(2**31), 0, 7, -3], np.int64)
+    p2, v2, _ = coding.unpack_escapes(coding.pack_escapes(pos, val), len(pos))
+    assert np.array_equal(p2, pos) and np.array_equal(v2, val)
