@@ -68,11 +68,17 @@ class RandomCropFlip:
 
 
 class ImageDataset:
-    """Recursive-glob folder dataset (reference: image.py:11-33)."""
+    """Recursive-glob folder dataset (reference: image.py:11-33).
 
-    def __init__(self, root, transform: RandomCropFlip = None):
+    out_dtype=np.uint8 returns raw 0-255 crops — the trainer uses this to
+    push 4x fewer bytes to the accelerator and normalizes on device
+    (uint8/255 in f32 matches the host normalization)."""
+
+    def __init__(self, root, transform: RandomCropFlip = None,
+                 out_dtype=np.float32):
         self.root = root
         self.transform = transform or RandomCropFlip()
+        self.out_dtype = np.dtype(out_dtype)
         self.image_paths = sorted(Path(root).rglob('*.*'))
         assert len(self.image_paths) > 0, \
             f'Found {len(self.image_paths)} images in {root}.'
@@ -83,8 +89,10 @@ class ImageDataset:
     def get(self, index, rng: np.random.Generator) -> np.ndarray:
         impath = self.image_paths[index]
         img = Image.open(impath).convert('RGB')
-        arr = np.asarray(img, dtype=np.float32) / 255.0
-        return self.transform(arr, rng)
+        arr = self.transform(np.asarray(img), rng)
+        if self.out_dtype == np.uint8:
+            return arr
+        return arr.astype(np.float32) / 255.0
 
     def __getitem__(self, index):
         return self.get(index, np.random.default_rng())

@@ -546,36 +546,73 @@ class QarvModel(VAEModelBase):
                 all_lmb_stats[k].append(v)
         return dict(all_lmb_stats)
 
+    def _eval_stats_prog(self, imgh, imgw):
+        """Jitted forward-eval stats for one original image shape: padding,
+        reconstruction metrics, and ALL KL reductions happen ON DEVICE; the
+        host pulls 3 scalars + one (total_z,) channel-bpp vector. (Round-1
+        pulled the full image and every block's KL tensor twice — ~20
+        tunneled fetches per image made the lambda-sweep eval minutes-long.)
+        Input is the raw uint8 image (4x smaller push; u8/255 matches the
+        host normalization)."""
+        if not hasattr(self, '_eval_stats_cache'):
+            self._eval_stats_cache = {}
+        key = (imgh, imgw)
+        if key in self._eval_stats_cache:
+            return self._eval_stats_cache[key]
+        net = self.net
+        s = net.max_stride
+        ph, pw = -imgh % s, -imgw % s
+
+        def f(params, real_u8, lmb_arr):
+            real = real_u8.astype(jnp.float32) / 255.0
+            im = jnp.pad(real, ((0, 0), (0, ph), (0, pw), (0, 0)),
+                         mode='edge')
+            x_hat, stats_all = net.apply(
+                {'params': params}, im, lmb_arr, False, False,
+                method=net.forward_end2end,
+                rngs={'noise': jax.random.PRNGKey(0)})
+            x_hat = x_hat[:, :imgh, :imgw, :]
+            x_tgt = (real - 0.5) * 2.0
+            distortion = jnp.mean(jnp.square(x_hat - x_tgt))
+            fake = jnp.clip(x_hat, -1, 1) * 0.5 + 0.5
+            mse = jnp.mean(jnp.square(real - fake))
+            kl_total = sum(jnp.sum(st['kl']) for st in stats_all)
+            imH, imW = imgh + ph, imgw + pw
+            ch_bpp = jnp.concatenate([
+                st['kl'].sum(axis=(1, 2)).mean(0) / (imH * imW) * log2_e
+                for st in stats_all])
+            return kl_total, distortion, mse, ch_bpp
+
+        self._eval_stats_cache[key] = jax.jit(f)
+        return self._eval_stats_cache[key]
+
     def _self_evaluate(self, img_paths, lmb: float, log_dir=None):
         accum = defaultdict(float)
         channel_bpp_sums = defaultdict(lambda: 0.0)
+        zdims = [blk.zdim for blk in self.net.dec_blocks
+                 if getattr(blk, 'is_latent_block', False)]
+        edges = np.cumsum([0] + zdims)
         count = 0
         for impath in img_paths:
             img = Image.open(impath).convert('RGB')
             imgh, imgw = img.height, img.width
-            img_padded = coding.pad_divisible_by(img, div=self.net.max_stride)
-            im = image_to_batch(img_padded)
+            real_u8 = np.asarray(img, dtype=np.uint8)[None]
             lmb_arr = self._expand_lmb(lmb, 1)
-            x_hat, stats_all = self._jit_e2e_eval(self.params, im, lmb_arr)
-            kl_total = float(sum(np.sum(np.asarray(st['kl'])) for st in stats_all))
-            kl = kl_total / (3 * imgh * imgw)
+            fn = self._eval_stats_prog(imgh, imgw)
+            kl_total, distortion, mse, ch = jax.device_get(
+                fn(self.params, real_u8, lmb_arr))
+            kl = float(kl_total) / (3 * imgh * imgw)
             bpp_estimated = kl * log2_e * 3
-            x_hat = np.asarray(x_hat)[:, :imgh, :imgw, :]
-            real = np.asarray(image_to_batch(img))
-            x_target = (real - 0.5) * 2.0
-            distortion = float(np.mean(np.square(x_hat - x_target)))
-            fake = np.clip(x_hat, -1, 1) * 0.5 + 0.5
-            mse = float(np.mean(np.square(real - fake)))
+            mse = float(mse)
             psnr = -10 * math.log10(max(mse, 1e-12))
             count += 1
-            accum['loss'] += kl + lmb * distortion
+            accum['loss'] += kl + lmb * float(distortion)
             accum['bpp'] += bpp_estimated
             accum['psnr'] += psnr
             if log_dir is not None:
-                imH, imW = im.shape[1], im.shape[2]
-                for i, st in enumerate(stats_all):
-                    ch_bpp = np.asarray(st['kl']).sum(axis=(1, 2)).mean(0) / (imH * imW) * log2_e
-                    channel_bpp_sums[i] = channel_bpp_sums[i] + ch_bpp
+                for i in range(len(zdims)):
+                    channel_bpp_sums[i] = channel_bpp_sums[i] + \
+                        np.asarray(ch[edges[i]:edges[i + 1]])
         avg = {k: v / count for k, v in accum.items()}
         avg['lambda'] = lmb
         if log_dir is not None:

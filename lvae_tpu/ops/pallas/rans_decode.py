@@ -129,7 +129,7 @@ def _decode_kernel(nsym_ref, ptr_in_ref,          # scalar prefetch (SMEM)
 
     states0 = states_in_ref[:].reshape(1, N)
     ptr0 = ptr_in_ref[0]
-    states, ptr = jax.lax.fori_loop(0, T, body, (states0, ptr0), unroll=2)
+    states, ptr = jax.lax.fori_loop(0, T, body, (states0, ptr0))
     states_out_ref[:] = states.reshape(states_out_ref.shape)
     ptr_out_ref[0] = ptr
 

@@ -136,8 +136,7 @@ def _encode_kernel(end_in_ref, row_n_ref,                # scalar prefetch (SMEM
     jax.lax.fori_loop(0, W_cap // 2048, zero_chunk, 0)
 
     states0 = states_in_ref[:].reshape(N, 1)
-    states, ptr = jax.lax.fori_loop(0, T, body, (states0, jnp.int32(0)),
-                                    unroll=4)
+    states, ptr = jax.lax.fori_loop(0, T, body, (states0, jnp.int32(0)))
     states_out_ref[:] = states.reshape(states_out_ref.shape)
     end_out_ref[0] = ptr
 

@@ -9,6 +9,7 @@ step is compiled with these shardings.
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -72,3 +73,40 @@ def local_batch_slice(global_batch_size):
     n = jax.process_count()
     assert global_batch_size % n == 0
     return global_batch_size // n
+
+
+def fast_device_get(tree):
+    """device_get a large pytree via a few BULK transfers.
+
+    jax.device_get fetches per leaf; on high-latency runtimes (tunneled
+    TPU) each fetch pays a fixed ~27 ms floor, so a 1600-leaf train state
+    takes minutes. Here a jitted program concatenates all raveled leaves
+    into ONE buffer per dtype on device; the host pulls those few buffers
+    at full bandwidth and slices the leaves back out.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    idx_by_dtype = {}
+    for i, leaf in enumerate(leaves):
+        if isinstance(leaf, jax.Array):
+            idx_by_dtype.setdefault(jnp.dtype(leaf.dtype).name, []).append(i)
+    if not idx_by_dtype:
+        return jax.device_get(tree)
+
+    @jax.jit
+    def pack(ls):
+        return [jnp.concatenate([ls[i].reshape(-1) for i in idxs])
+                if len(idxs) > 1 else ls[idxs[0]].reshape(-1)
+                for idxs in idx_by_dtype.values()]
+
+    packed = jax.device_get(pack(leaves))
+    out = list(leaves)
+    for buf, idxs in zip(packed, idx_by_dtype.values()):
+        off = 0
+        for i in idxs:
+            n = int(np.prod(leaves[i].shape)) if leaves[i].shape else 1
+            out[i] = np.asarray(buf[off:off + n]).reshape(leaves[i].shape)
+            off += n
+    for i, leaf in enumerate(leaves):   # non-array leaves pass through
+        if not isinstance(leaf, jax.Array):
+            out[i] = leaf
+    return jax.tree_util.tree_unflatten(treedef, out)

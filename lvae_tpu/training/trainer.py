@@ -102,6 +102,16 @@ class BaseTrainingWrapper:
         self._log_dir = log_dir
 
     def set_device(self):
+        # persistent XLA compile cache: relaunches/resumes skip the multi-
+        # minute train-step/eval compiles (first run still pays them)
+        try:
+            cache = os.path.expanduser('~/.cache/lvae_tpu_jax')
+            os.makedirs(cache, exist_ok=True)
+            jax.config.update('jax_compilation_cache_dir', cache)
+            jax.config.update('jax_persistent_cache_min_compile_time_secs',
+                              0.5)
+        except Exception as e:
+            logging.warning(f'compile cache unavailable: {e}')
         self.mesh = parallel.get_data_mesh()
         n = len(jax.devices())
         logging.info(f'Data-parallel mesh over {n} devices '
@@ -126,6 +136,10 @@ class BaseTrainingWrapper:
 
     def make_training_loader(self, dataset):
         cfg = self.cfg
+        if hasattr(dataset, 'out_dtype'):
+            # push raw uint8 batches (4x fewer host->device bytes; the
+            # train step normalizes on device)
+            dataset.out_dtype = np.dtype(np.uint8)
         trainloader, sampler = make_trainloader(
             dataset, batch_size=cfg.batch_size, workers=cfg.workers,
             num_shards=self.world_size, shard_id=self.local_rank,
@@ -177,6 +191,8 @@ class BaseTrainingWrapper:
         compute_dtype = 'bfloat16' if getattr(cfg, 'amp', False) else None
 
         def loss_fn(params, batch, rng):
+            if batch.dtype == jnp.uint8:   # device-side normalization
+                batch = batch.astype(jnp.float32) / 255.0
             return self.model.loss_and_stats(params, batch, rng, training=True,
                                              compute_dtype=compute_dtype)
 
@@ -295,7 +311,38 @@ class BaseTrainingWrapper:
                                  else int(time.time()))
         lr_now = cfg.lr * lr_factor(self._cur_iter, cfg.iterations,
                                     cfg.lr_sched, cfg.lr_warmup, cfg.lrf_min)
-        t_prev = None
+
+        # Software pipeline (depth 1): dispatch step N, then start the
+        # host->device copy of batch N+1 and only then pull step N-1's
+        # metric scalars. Device compute, the batch upload, and host-side
+        # logging overlap instead of serializing — on tunneled runtimes the
+        # upload and the scalar fetch otherwise dominate the step. Effect on
+        # semantics: the grad-norm median fed to the spike guard and the NaN
+        # abort lag ONE step behind the reference's same-step behavior.
+        self._t_prev = None
+        pending = None                       # (step, metrics_dev, lr, batch)
+
+        def consume(p):
+            step_p, metrics_dev, lr_p, batch_p = p
+            metrics = {k: float(v) for k, v in metrics_dev.items()}  # sync
+            t_now = time.perf_counter()
+            if self._t_prev is not None:
+                dt = t_now - self._t_prev
+                self._step_dt_ema = dt if self._step_dt_ema is None else \
+                    0.9 * self._step_dt_ema + 0.1 * dt
+            self._t_prev = t_now
+            self._moving_grad_norm_buffer.add(metrics['grad_norm'])
+            if not math.isfinite(metrics['loss']):
+                logging.error(f'loss = {metrics["loss"]} at step {step_p}')
+                self.clean_and_exit()
+            if self.is_main:
+                cur = self._cur_iter
+                self._cur_iter = step_p      # log under the step's own index
+                self.minibatch_log(pbar, metrics, lr_p)
+                self.periodic_log(batch_p)
+                self._cur_iter = cur
+
+        next_batch = None
         for step in pbar:
             self._cur_iter = step
             self._cur_epoch = step / self._epoch_len
@@ -303,15 +350,20 @@ class BaseTrainingWrapper:
             if self.is_main and cfg.model_val_interval > 0 \
                     and step % cfg.model_val_interval == 0 \
                     and (step > 0 or cfg.eval_first):
+                if pending is not None:      # drain the pipeline first
+                    consume(pending)
+                    pending = None
                 self.evaluate()
-                t_prev = None          # eval time must not pollute img/s
+                self._t_prev = None    # eval time must not pollute img/s
 
             if step % 10 == 0:
                 lr_now = cfg.lr * lr_factor(step, cfg.iterations, cfg.lr_sched,
                                             cfg.lr_warmup, cfg.lrf_min)
 
-            batch = next(self.trainloader)
-            batch = parallel.shard_batch(batch, self.mesh)
+            if next_batch is None:
+                next_batch = parallel.shard_batch(next(self.trainloader),
+                                                  self.mesh)
+            batch = next_batch
             rng, step_rng = jax.random.split(rng)
             if self._step_flops is None:
                 self._step_flops = self._estimate_step_flops(batch, step_rng)
@@ -320,32 +372,24 @@ class BaseTrainingWrapper:
                     logging.info(
                         f'train step = {self._step_flops / 1e9:.1f} GFLOPs '
                         f'(XLA cost analysis)')
-                t_prev = None          # first step pays compile; don't count
+                self._t_prev = None    # first step pays compile; don't count
             median = self._moving_grad_norm_buffer.median() or 1e9
             warmup = cfg.ema_warmup or max(cfg.iterations // 20, 1)
             ema_decay = cfg.ema_decay * (1 - math.exp(-max(step, 1) / warmup))
-            self.state, metrics = self._train_step(
+            self.state, metrics_dev = self._train_step(
                 self.state, batch, step_rng,
                 jnp.float32(lr_now), jnp.float32(median),
                 jnp.float32(ema_decay))
 
-            # host-side bookkeeping (pulls scalars; async until here)
-            metrics = {k: float(v) for k, v in metrics.items()}
-            t_now = time.perf_counter()
-            if t_prev is not None:
-                dt = t_now - t_prev
-                self._step_dt_ema = dt if self._step_dt_ema is None else \
-                    0.9 * self._step_dt_ema + 0.1 * dt
-            t_prev = t_now
-            self._moving_grad_norm_buffer.add(metrics['grad_norm'])
-            if not math.isfinite(metrics['loss']):
-                logging.error(f'loss = {metrics["loss"]} at step {step}')
-                self.clean_and_exit()
+            # upload the next batch while this step runs on device
+            next_batch = parallel.shard_batch(next(self.trainloader),
+                                              self.mesh)
+            if pending is not None:
+                consume(pending)
+            pending = (step, metrics_dev, lr_now, batch)
 
-            if self.is_main:
-                self.minibatch_log(pbar, metrics, lr_now)
-                self.periodic_log(batch)
-
+        if pending is not None:
+            consume(pending)
         self._cur_iter += 1
         if self.is_main:
             self.evaluate()
@@ -411,9 +455,12 @@ class BaseTrainingWrapper:
             with open(self._log_dir / 'train_log.jsonl', 'a') as f:
                 f.write(json.dumps(rec) + '\n')
         if self._cur_iter % cfg.model_log_interval == 0 and \
-                hasattr(self.model, 'study'):
-            self._sync_model_params()
-            self.model.study(save_dir=self._log_dir)
+                self._cur_iter > 0 and hasattr(self.model, 'study'):
+            try:
+                self._sync_model_params()
+                self.model.study(save_dir=self._log_dir)
+            except Exception as e:   # never let logging kill training
+                logging.warning(f'study() failed: {e}')
         if self.wbrun is not None and self._cur_iter % cfg.wandb_log_interval == 0:
             log = {'general/lr': self.stats_table['lr'],
                    'general/grad_norm': self._moving_grad_norm_buffer.max()}
@@ -441,9 +488,13 @@ class BaseTrainingWrapper:
 
     # ------------------------------------------------------------- evaluation
     def _sync_model_params(self, ema=False):
-        state = jax.device_get(self.state)
-        self.model.params = state.ema_params if (ema and state.ema_params
-                                                 is not None) else state.params
+        # hand the model DEVICE-RESIDENT param arrays: device_get here would
+        # make every subsequent eval/study jit call re-upload the full tree
+        # (373 MB for qarv_base — tens of seconds per image on a tunneled
+        # runtime)
+        self.model.params = self.state.ema_params \
+            if (ema and self.state.ema_params is not None) \
+            else self.state.params
 
     def eval_model(self, model) -> dict:
         raise NotImplementedError
@@ -451,6 +502,11 @@ class BaseTrainingWrapper:
     def evaluate(self):
         assert self.is_main
         cfg = self.cfg
+        # ONE bulk host pull of the train state per eval break, shared by
+        # the plain and EMA checkpoint writes (the state is ~1.5 GB /
+        # ~1600 leaves for qarv_base; per-leaf device_get pays a fixed
+        # latency floor per array on tunneled runtimes)
+        self._host_state = parallel.fast_device_get(self.state)
         self._sync_model_params(ema=False)
         results = self.eval_model(self.model)
         logging.info(f'Validation (no EMA): {results}')
@@ -465,6 +521,7 @@ class BaseTrainingWrapper:
             self._save_checkpoints(results_ema, ema=True)
             results = results_ema
             self._sync_model_params(ema=False)
+        self._host_state = None
 
         if self.wbrun is not None:
             self.wbrun.log({'val-metrics/' + k: v for k, v in results.items()
@@ -475,7 +532,10 @@ class BaseTrainingWrapper:
         self._results = results
 
     def _save_checkpoints(self, results, ema=False):
-        payload = {'state': jax.device_get(self.state),
+        host_state = getattr(self, '_host_state', None)
+        if host_state is None:
+            host_state = parallel.fast_device_get(self.state)
+        payload = {'state': host_state,
                    'iter': self._cur_iter, 'epoch': self._cur_epoch,
                    'best_loss': min(self._best_loss,
                                     results.get('loss', math.inf))}
@@ -493,7 +553,8 @@ class BaseTrainingWrapper:
         if self.is_main:
             try:
                 ckpt.save_checkpoint(self._log_dir / 'failed',
-                                     {'state': jax.device_get(self.state)})
+                                     {'state': parallel.fast_device_get(
+                                         self.state)})
             except Exception as e:
                 logging.error(f'failed.ckpt dump error: {e}')
         raise SystemExit(f'Host {self.local_rank} terminated on NaN/inf loss.')

@@ -32,7 +32,7 @@ def synth_image(rng, h, w):
     # multi-scale smooth background per channel, channels correlated
     base = sum(_smooth_field(rng, h, w, s) * a for s, a in
                [(64, 1.0), (16, 0.5), (4, 0.25)])
-    base = (base - base.min()) / (base.ptp() + 1e-9)
+    base = (base - base.min()) / (np.ptp(base) + 1e-9)
     tint = rng.uniform(0.3, 1.0, size=3)
     img = base[..., None] * tint + rng.uniform(0, 0.3, size=3)
 
