@@ -45,34 +45,13 @@ def _median_ms(v):
     return float(sorted(v)[len(v) // 2] * 1e3)
 
 
-def main():
-    import jax
-    _enable_compile_cache()
-    import lvae_tpu
-
-    model = lvae_tpu.get_model('qarv_base')
-
-    rng = np.random.default_rng(0)
-    H, W = 512, 768
-    # natural-image-like statistics (smooth, limited bandwidth) — white
-    # noise would make the latent residuals pathological
-    from scipy.ndimage import gaussian_filter
-    im = gaussian_filter(rng.uniform(0, 1, (H, W, 3)), sigma=(4, 4, 0))
-    im = (im - im.min()) / (im.max() - im.min() + 1e-9)
-    im = (np.round(im * 255) / 255).astype(np.float32)[None]
-    lmb = 512.0
-    n_iter = 9
-
-    # ---------------- fused codec (production path) -----------------------
-    # esc_cap sized for untrained weights (trained models need ~0 escapes)
-    import jax.numpy as _jnp
-    model.compress_mode(coder='fused', esc_cap=1 << 18)
-    im_dev = _jnp.asarray(im)                # device-resident input, like the
-    np.asarray(im_dev[0, :1, :1, 0])         # reference's im.to(device)
+def _measure_fused(model, im_dev, lmb, n_iter):
+    """Time the fused codec: encode until stream bytes on host, decode
+    until the image is materialized on device + sync (reference
+    methodology, see module docstring)."""
+    import numpy as np
     bits = model.compress(im_dev, lmb=lmb)   # compile + prepay first fetch
-    rec_warm = model.decompress(bits)        # compile decode + image pull
-    bpp_fused = len(bits) * 8 / (H * W)
-
+    _ = model.decompress(bits)               # compile decode + image pull
     enc_t, dec_t, pull_t = [], [], []
     for _ in range(n_iter):
         t0 = time.perf_counter()
@@ -88,7 +67,65 @@ def main():
         enc_t.append(t1 - t0)
         dec_t.append(t2 - t1)
         pull_t.append(t3 - t2)
-    enc_ms, dec_ms = _median_ms(enc_t), _median_ms(dec_t)
+    H, W = im_dev.shape[1], im_dev.shape[2]
+    return {'enc_ms': _median_ms(enc_t), 'dec_ms': _median_ms(dec_t),
+            'enc_min_ms': float(min(enc_t) * 1e3),
+            'dec_min_ms': float(min(dec_t) * 1e3),
+            'pull_ms': _median_ms(pull_t),
+            'bpp': len(bits) * 8 / (H * W)}
+
+
+# Trained weights (round-2 synthetic 6k-step qarv_base run) give the
+# realistic operating point: ~0.5 bpp streams and ZERO escape symbols.
+# Falls back to random init (pathological rates/escapes) when absent.
+TRAINED_WEIGHTS = 'runs/qarv_base_synth6k_ema.msgpack'
+
+
+def main():
+    import os
+    import jax
+    _enable_compile_cache()
+    import lvae_tpu
+
+    model = lvae_tpu.get_model('qarv_base')
+    trained = os.path.isfile(TRAINED_WEIGHTS)
+    if trained:
+        model.load_weights(TRAINED_WEIGHTS)
+        # params must be DEVICE-RESIDENT: host numpy params would be
+        # re-uploaded (373 MB) on every dispatch through the tunnel
+        model.params = jax.device_put(model.params)
+        jax.block_until_ready(jax.tree.leaves(model.params)[0])
+
+    rng = np.random.default_rng(0)
+    H, W = 512, 768
+    # natural-image-like statistics (smooth, limited bandwidth) — white
+    # noise would make the latent residuals pathological
+    from scipy.ndimage import gaussian_filter
+    im = gaussian_filter(rng.uniform(0, 1, (H, W, 3)), sigma=(4, 4, 0))
+    im = (im - im.min()) / (im.max() - im.min() + 1e-9)
+    im = (np.round(im * 255) / 255).astype(np.float32)[None]
+    lmb = 512.0
+    n_iter = 11
+
+    # ---------------- fused codec (production path) -----------------------
+    import jax.numpy as _jnp
+    esc_cap = 8192 if trained else 1 << 18
+    im_dev = _jnp.asarray(im)                # device-resident input, like the
+    np.asarray(im_dev[0, :1, :1, 0])         # reference's im.to(device)
+
+    model.compress_mode(coder='fused', esc_cap=esc_cap)
+    f32 = _measure_fused(model, im_dev, lmb, n_iter)
+    model.compress_mode(coder='fused', esc_cap=esc_cap,
+                        compute_dtype='bfloat16')
+    bf16 = _measure_fused(model, im_dev, lmb, n_iter)
+
+    # headline: the faster production mode (both are bit-exact self-
+    # consistent; bf16's rate delta vs the f32 host stream is reported)
+    best = bf16 if (bf16['enc_ms'] + bf16['dec_ms'] <
+                    f32['enc_ms'] + f32['dec_ms']) else f32
+    mode = 'bf16' if best is bf16 else 'f32'
+    enc_ms, dec_ms = best['enc_ms'], best['dec_ms']
+    bpp_fused = best['bpp']
     total_ms = enc_ms + dec_ms
 
     # --------------- host coder (reference-layout streams) ----------------
@@ -129,20 +166,28 @@ def main():
         'unit': 'ms',
         'vs_baseline': round(BASELINE_MS / total_ms, 3),
         'detail': {
-            # headline = fused codec: encode until stream bytes on host,
-            # decode until image materialized on device + sync (the
-            # reference times GPU-resident decode the same way)
+            # headline = fused codec (faster of f32/bf16): encode until
+            # stream bytes on host, decode until image materialized on
+            # device + sync (the reference times GPU-resident decode the
+            # same way)
+            'mode': mode,
+            'weights': 'trained-synth6k' if trained else 'random-init',
             'fused_encode_ms': round(enc_ms, 3),
             'fused_decode_ms': round(dec_ms, 3),
-            'image_host_pull_ms': round(_median_ms(pull_t), 3),
+            'fused_encode_min_ms': round(best['enc_min_ms'], 3),
+            'fused_decode_min_ms': round(best['dec_min_ms'], 3),
+            'f32_encdec_ms': round(f32['enc_ms'] + f32['dec_ms'], 3),
+            'bf16_encdec_ms': round(bf16['enc_ms'] + bf16['dec_ms'], 3),
+            'image_host_pull_ms': round(best['pull_ms'], 3),
             # rate-parity mode (per-block host rANS, reference-equivalent
             # stream layout)
             'host_coder_encode_ms': round(_median_ms(host_e), 3),
             'host_coder_decode_ms': round(_median_ms(host_d), 3),
-            # with untrained weights the synthetic image produces escape
-            # symbols; trained models have ~none (escape = 2-4 B varint,
-            # lane states = 512 bytes/image)
+            # fused overhead = 512 B lane states + 10 B header (+ varint
+            # escapes: zero with trained weights)
             'fused_bpp': round(bpp_fused, 4),
+            'f32_fused_bpp': round(f32['bpp'], 4),
+            'bf16_fused_bpp': round(bf16['bpp'], 4),
             'host_bpp': round(bpp_host, 4),
             'fused_bpp_overhead': round(bpp_fused - bpp_host, 4),
             'device_forward_ms': round(fwd_ms, 3),

@@ -64,7 +64,11 @@ class VAEModelBase:
 
     def load_weights(self, path):
         data = Path(path).read_bytes()
-        self.params = flax.serialization.from_bytes(self.params, data)
+        restored = flax.serialization.from_bytes(self.params, data)
+        # keep params DEVICE-RESIDENT: host numpy params would be
+        # re-uploaded in full on every jitted call (373 MB per dispatch for
+        # qarv_base through a tunneled runtime)
+        self.params = jax.device_put(restored)
 
     def load_state_dict(self, params):
         """Replace the parameter pytree (trainer/EMA integration)."""

@@ -6,6 +6,11 @@ Usage: python scripts/profile-encode.py
 import struct
 import time
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import numpy as np
 
 

@@ -9,6 +9,11 @@ Usage: python scripts/profile-rans-kernels.py
 """
 import time
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import numpy as np
 
 
