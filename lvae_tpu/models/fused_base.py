@@ -195,9 +195,17 @@ class FusedCodecBase:
         idx_all = jnp.concatenate(idx_flat)
         inband, esc_mask = pre.prepare_inband(values, idx_all,
                                               offsets, lengths)
-        n_esc_true = jnp.sum(esc_mask.astype(jnp.int32))
-        (esc_pos,) = jnp.nonzero(esc_mask, size=esc_cap, fill_value=-1)
-        esc_val = jnp.where(esc_pos >= 0, values[esc_pos], 0)
+        # escape compaction via cumsum + dropping scatter (ascending
+        # positions, like jnp.nonzero, without its sort-based lowering)
+        mask_i = esc_mask.astype(jnp.int32)
+        n_esc_true = jnp.sum(mask_i)
+        rank = jnp.cumsum(mask_i) - 1
+        slot = jnp.where(esc_mask, rank, esc_cap)
+        pos_iota = jnp.arange(values.shape[0], dtype=jnp.int32)
+        esc_pos = jnp.full((esc_cap,), -1, jnp.int32).at[slot].set(
+            pos_iota, mode='drop')
+        esc_val = jnp.where(esc_pos >= 0,
+                            values[jnp.clip(esc_pos, 0, None)], 0)
 
         sym_rows, idx_rows, row_ns = [], [], []
         off = 0
