@@ -32,11 +32,24 @@ class ShardedSampler:
         self.epoch = 0
         # per-epoch shard length (len(range(shard_id, num_items, num_shards)))
         self.shard_len = len(range(shard_id, num_items, num_shards))
+        assert self.shard_len > 0, (
+            f'shard {shard_id}/{num_shards} is empty: num_items={num_items} '
+            f'< num_shards={num_shards}')
+        self._perm_cache = {}          # epoch -> shard permutation
 
     def epoch_indices(self, epoch):
+        # memoized: index_at is called batch_size times per batch in every
+        # worker, and a fresh rng.permutation(num_items) per call is O(N)
+        cached = self._perm_cache.get(epoch)
+        if cached is not None:
+            return cached
         rng = np.random.default_rng(self.seed + epoch)
         perm = rng.permutation(self.num_items)
-        return perm[self.shard_id::self.num_shards]
+        shard = perm[self.shard_id::self.num_shards]
+        if len(self._perm_cache) >= 2:   # workers touch at most 2 epochs
+            self._perm_cache.pop(min(self._perm_cache), None)
+        self._perm_cache[epoch] = shard
+        return shard
 
     def index_at(self, position):
         """Dataset index at a global stream position (random access)."""

@@ -33,8 +33,10 @@ class _AverageMeter:
 
 
 def _find_images(dataset):
+    from lvae_tpu.utils import coding
     root = known_datasets.get(dataset, Path(dataset))
-    img_paths = sorted(Path(root).rglob('*.*'))
+    img_paths = sorted(p for p in Path(root).rglob('*.*')
+                       if p.suffix.lower() in coding.IMAGE_SUFFIXES)
     assert len(img_paths) > 0, f'no images found under {root}'
     return img_paths
 

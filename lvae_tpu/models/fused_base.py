@@ -122,7 +122,7 @@ class FusedCodecBase:
         esc_pairs = pulled[head_len + half:head_len + half + 2 * n_esc]
 
         out = struct.pack('<IIH', n_words, n_esc, N)
-        out += states_u32.tobytes()
+        out += coding.pack_states(states_u32)   # compact lane-state flush
         esc_pairs = esc_pairs.astype(np.int64)
         out += coding.pack_escapes(esc_pairs[0::2], esc_pairs[1::2])
         out += words16.astype('<u2').tobytes()
@@ -141,7 +141,8 @@ class FusedCodecBase:
         n_words, n_esc, lanes = struct.unpack('<IIH', body[:10])
         assert lanes == N, f'stream lanes {lanes} != configured {N}'
         off = 10
-        states = np.frombuffer(body[off:off + 4 * N], '<u4'); off += 4 * N
+        states, consumed = coding.unpack_states(body[off:], N)
+        off += consumed
         e_pos, e_val, consumed = coding.unpack_escapes(body[off:], n_esc)
         off += consumed
         words = np.frombuffer(body[off:off + 2 * n_words], '<u2')

@@ -19,7 +19,9 @@ scripts/tpu-validate-codec.py and guarded by round-trip tests.
 
 Wire format (fused payload, little-endian):
     [I n_words][I n_esc][H num_lanes]
-    [states u32 x N][escape varints (delta-pos + zigzag-val LEB128,
+    [compact lane states: packed 2-bit length codes + truncated
+    little-endian (state - 2^16) bytes, utils/coding.pack_states]
+    [escape varints (delta-pos + zigzag-val LEB128,
     utils/coding.pack_escapes) x n_esc][words u16 x n_words]
 
 Reference behavior being replaced: per-block CPU rANS round-trips in

@@ -534,73 +534,101 @@ class QarvModel(VAEModelBase):
             batch_to_image(side[None]).save(save_dir / imname)
 
     # ----------------------------------------------------------------- eval
-    def self_evaluate(self, img_dir, lmb_range=None, steps=8, log_dir=None):
-        """Forward-only lambda sweep (reference: qarv/model.py:427-507)."""
-        img_paths = sorted(Path(img_dir).rglob('*.*'))
+    def self_evaluate(self, img_dir, lmb_range=None, steps=8, log_dir=None,
+                      shape_buckets=0):
+        """Forward-only lambda sweep (reference: qarv/model.py:427-507).
+
+        shape_buckets > 0 pads images into at most that many (H, W) buckets
+        so a mixed-shape validation set compiles a BOUNDED number of XLA
+        programs (same mechanism as imcoding_evaluate); metrics are masked
+        to the true image region. 0 keeps exact per-stride-padded-shape
+        programs (one per distinct padded shape)."""
+        img_paths = sorted(p for p in Path(img_dir).rglob('*.*')
+                           if p.suffix.lower() in coding.IMAGE_SUFFIXES)
+        buckets = None
+        if shape_buckets:
+            s = self.net.max_stride
+            sizes = []
+            for p in img_paths:
+                with Image.open(p) as img:
+                    sizes.append((img.height, img.width))
+            buckets = coding.choose_shape_buckets(sizes, div=s,
+                                                  max_buckets=shape_buckets)
         start, end = self.lmb_range if lmb_range is None else lmb_range
         lambdas = np.exp(np.linspace(math.log(start), math.log(end), steps))
         all_lmb_stats = defaultdict(list)
         for lmb in lambdas.tolist():
-            results = self._self_evaluate(img_paths, lmb, log_dir=log_dir)
+            results = self._self_evaluate(img_paths, lmb, log_dir=log_dir,
+                                          buckets=buckets)
             for k, v in results.items():
                 all_lmb_stats[k].append(v)
         return dict(all_lmb_stats)
 
-    def _eval_stats_prog(self, imgh, imgw):
-        """Jitted forward-eval stats for one original image shape: padding,
-        reconstruction metrics, and ALL KL reductions happen ON DEVICE; the
-        host pulls 3 scalars + one (total_z,) channel-bpp vector. (Round-1
-        pulled the full image and every block's KL tensor twice — ~20
-        tunneled fetches per image made the lambda-sweep eval minutes-long.)
-        Input is the raw uint8 image (4x smaller push; u8/255 matches the
-        host normalization)."""
+    def _eval_stats_prog(self, padH, padW):
+        """Jitted forward-eval stats, keyed on the PADDED device shape (not
+        the original image shape — distinct originals that pad to one shape
+        share one executable): reconstruction metrics and ALL KL reductions
+        happen ON DEVICE with the true (imgh, imgw) crop bounds passed as
+        operands; the host pulls 3 scalars + one (total_z,) channel-bpp
+        vector. (Round-1 pulled the full image and every block's KL tensor
+        twice — ~20 tunneled fetches per image made the lambda-sweep eval
+        minutes-long.) Input is the edge-padded raw uint8 image (4x smaller
+        push; u8/255 matches the host normalization)."""
         if not hasattr(self, '_eval_stats_cache'):
             self._eval_stats_cache = {}
-        key = (imgh, imgw)
+        key = (padH, padW)
         if key in self._eval_stats_cache:
             return self._eval_stats_cache[key]
         net = self.net
-        s = net.max_stride
-        ph, pw = -imgh % s, -imgw % s
+        assert padH % net.max_stride == 0 and padW % net.max_stride == 0
 
-        def f(params, real_u8, lmb_arr):
-            real = real_u8.astype(jnp.float32) / 255.0
-            im = jnp.pad(real, ((0, 0), (0, ph), (0, pw), (0, 0)),
-                         mode='edge')
+        def f(params, pad_u8, lmb_arr, imgh, imgw):
+            im = pad_u8.astype(jnp.float32) / 255.0
             x_hat, stats_all = net.apply(
                 {'params': params}, im, lmb_arr, False, False,
                 method=net.forward_end2end,
                 rngs={'noise': jax.random.PRNGKey(0)})
-            x_hat = x_hat[:, :imgh, :imgw, :]
-            x_tgt = (real - 0.5) * 2.0
-            distortion = jnp.mean(jnp.square(x_hat - x_tgt))
+            # mask out the padded region (the crop bounds are operands, so
+            # every original shape in this bucket shares the executable)
+            mask = ((jnp.arange(padH)[None, :, None, None] < imgh) &
+                    (jnp.arange(padW)[None, None, :, None] < imgw))
+            npix = (imgh * imgw * 3).astype(jnp.float32)
+            x_tgt = (im - 0.5) * 2.0
+            distortion = jnp.sum(jnp.square(x_hat - x_tgt) * mask) / npix
             fake = jnp.clip(x_hat, -1, 1) * 0.5 + 0.5
-            mse = jnp.mean(jnp.square(real - fake))
+            mse = jnp.sum(jnp.square(im - fake) * mask) / npix
             kl_total = sum(jnp.sum(st['kl']) for st in stats_all)
-            imH, imW = imgh + ph, imgw + pw
             ch_bpp = jnp.concatenate([
-                st['kl'].sum(axis=(1, 2)).mean(0) / (imH * imW) * log2_e
+                st['kl'].sum(axis=(1, 2)).mean(0) / (padH * padW) * log2_e
                 for st in stats_all])
             return kl_total, distortion, mse, ch_bpp
 
         self._eval_stats_cache[key] = jax.jit(f)
         return self._eval_stats_cache[key]
 
-    def _self_evaluate(self, img_paths, lmb: float, log_dir=None):
+    def _self_evaluate(self, img_paths, lmb: float, log_dir=None,
+                       buckets=None):
         accum = defaultdict(float)
         channel_bpp_sums = defaultdict(lambda: 0.0)
         zdims = [blk.zdim for blk in self.net.dec_blocks
                  if getattr(blk, 'is_latent_block', False)]
         edges = np.cumsum([0] + zdims)
         count = 0
+        s = self.net.max_stride
         for impath in img_paths:
             img = Image.open(impath).convert('RGB')
             imgh, imgw = img.height, img.width
-            real_u8 = np.asarray(img, dtype=np.uint8)[None]
+            if buckets is not None:
+                padH, padW = coding.bucket_for(imgh, imgw, buckets)
+            else:
+                padH, padW = imgh + (-imgh % s), imgw + (-imgw % s)
+            pad_u8 = np.asarray(coding.pad_to_shape(img, padH, padW),
+                                dtype=np.uint8)[None]
             lmb_arr = self._expand_lmb(lmb, 1)
-            fn = self._eval_stats_prog(imgh, imgw)
+            fn = self._eval_stats_prog(padH, padW)
             kl_total, distortion, mse, ch = jax.device_get(
-                fn(self.params, real_u8, lmb_arr))
+                fn(self.params, pad_u8, lmb_arr,
+                   jnp.int32(imgh), jnp.int32(imgw)))
             kl = float(kl_total) / (3 * imgh * imgw)
             bpp_estimated = kl * log2_e * 3
             mse = float(mse)

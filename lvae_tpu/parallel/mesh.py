@@ -75,6 +75,9 @@ def local_batch_slice(global_batch_size):
     return global_batch_size // n
 
 
+_PACK_CACHE = {}    # (n_leaves, dtype-group layout) -> jitted pack fn
+
+
 def fast_device_get(tree):
     """device_get a large pytree via a few BULK transfers.
 
@@ -82,7 +85,9 @@ def fast_device_get(tree):
     TPU) each fetch pays a fixed ~27 ms floor, so a 1600-leaf train state
     takes minutes. Here a jitted program concatenates all raveled leaves
     into ONE buffer per dtype on device; the host pulls those few buffers
-    at full bandwidth and slices the leaves back out.
+    at full bandwidth and slices the leaves back out. The jitted pack fn is
+    cached by leaf-group layout so repeated checkpoint/eval calls don't
+    re-trace the ~1600-leaf concatenate each time.
     """
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     idx_by_dtype = {}
@@ -92,11 +97,21 @@ def fast_device_get(tree):
     if not idx_by_dtype:
         return jax.device_get(tree)
 
-    @jax.jit
-    def pack(ls):
-        return [jnp.concatenate([ls[i].reshape(-1) for i in idxs])
-                if len(idxs) > 1 else ls[idxs[0]].reshape(-1)
-                for idxs in idx_by_dtype.values()]
+    cache_key = (len(leaves),
+                 tuple((d, tuple(idxs)) for d, idxs in idx_by_dtype.items()))
+    pack = _PACK_CACHE.get(cache_key)
+    if pack is None:
+        groups = tuple(tuple(idxs) for idxs in idx_by_dtype.values())
+
+        @jax.jit
+        def pack(ls):
+            return [jnp.concatenate([ls[i].reshape(-1) for i in idxs])
+                    if len(idxs) > 1 else ls[idxs[0]].reshape(-1)
+                    for idxs in groups]
+
+        if len(_PACK_CACHE) > 8:
+            _PACK_CACHE.clear()
+        _PACK_CACHE[cache_key] = pack
 
     packed = jax.device_get(pack(leaves))
     out = list(leaves)

@@ -273,9 +273,12 @@ class BaseTrainingWrapper:
     )
 
     def _estimate_step_flops(self, batch, rng):
-        """XLA's own FLOP count for the compiled train step (the executable
-        is shared with the real step, so this costs nothing extra). Replaces
-        the reference's torch.profiler FLOPs accounting for MFU."""
+        """XLA's own FLOP count for the compiled train step. Replaces the
+        reference's torch.profiler FLOPs accounting for MFU. Note: this AOT
+        .lower().compile() does NOT populate the jit dispatch cache, so the
+        first real _train_step call compiles again — but through the
+        persistent compilation cache that second compile is a cheap
+        deserialize, and both happen once per run (accepted cost)."""
         try:
             compiled = self._train_step.lower(
                 self.state, batch, rng, jnp.float32(0.0), jnp.float32(1e9),
@@ -317,8 +320,13 @@ class BaseTrainingWrapper:
         # metric scalars. Device compute, the batch upload, and host-side
         # logging overlap instead of serializing — on tunneled runtimes the
         # upload and the scalar fetch otherwise dominate the step. Effect on
-        # semantics: the grad-norm median fed to the spike guard and the NaN
-        # abort lag ONE step behind the reference's same-step behavior.
+        # semantics: step N-1's metrics are consumed only after step N is
+        # dispatched, so the grad-norm median fed to step N's spike guard
+        # includes norms only through step N-2 — a TWO-step lag behind the
+        # current step (the reference includes through N-1) — and on a
+        # non-finite loss one extra step runs on the poisoned state before
+        # clean_and_exit dumps the 'failed' checkpoint (that dump is one
+        # step past the NaN).
         self._t_prev = None
         pending = None                       # (step, metrics_dev, lr, batch)
 

@@ -123,6 +123,57 @@ def unpack_escapes(buf: bytes, count: int):
 
 
 # ---------------------------------------------------------------------------
+# Compact rANS lane-state serialization
+# ---------------------------------------------------------------------------
+# Lane states live in [2^16, 2^32): raw storage costs 4 B/lane, which at 128
+# lanes is the dominant fixed overhead of the fused stream (512 B/image).
+# Final states are ~log-uniform, so (state - 2^16) fits in <=3 bytes about
+# half the time: store a packed 2-bit length code per lane (4 lanes/byte)
+# followed by the truncated little-endian bytes. Pure host-side glue — the
+# device kernels still see raw u32 states, so coder byte-identity of the
+# words is untouched.
+
+RANS_STATE_MIN = 1 << 16
+
+
+def pack_states(states) -> bytes:
+    """Serialize uint32 rANS lane states (each >= 2^16) compactly."""
+    s = np.asarray(states).astype(np.uint64).ravel()
+    assert (s >= RANS_STATE_MIN).all() and (s < (1 << 32)).all()
+    x = s - RANS_STATE_MIN
+    nb = (1 + (x >= (1 << 8)).astype(np.int64) +
+          (x >= (1 << 16)).astype(np.int64) +
+          (x >= (1 << 24)).astype(np.int64))
+    codes = (nb - 1).astype(np.uint8)
+    pad = (-len(codes)) % 4
+    cp = np.concatenate([codes, np.zeros(pad, np.uint8)]).reshape(-1, 4)
+    prefix = (cp[:, 0] | (cp[:, 1] << 2) | (cp[:, 2] << 4) |
+              (cp[:, 3] << 6)).astype(np.uint8)
+    j = np.arange(4)
+    mat = ((x[:, None] >> (np.uint64(8) * j.astype(np.uint64)))
+           & np.uint64(0xFF)).astype(np.uint8)
+    emit = j[None, :] < nb[:, None]
+    return prefix.tobytes() + mat[emit].tobytes()
+
+
+def unpack_states(buf: bytes, n: int):
+    """Inverse of pack_states. Returns (uint32 states, bytes consumed)."""
+    npre = (n + 3) // 4
+    pre = np.frombuffer(buf[:npre], np.uint8)
+    codes = np.stack([pre & 3, (pre >> 2) & 3, (pre >> 4) & 3,
+                      (pre >> 6) & 3], axis=1).reshape(-1)[:n]
+    nb = codes.astype(np.int64) + 1
+    total = int(nb.sum())
+    body = np.frombuffer(buf[npre:npre + total], np.uint8).astype(np.uint64)
+    starts = np.concatenate([[0], np.cumsum(nb)[:-1]])
+    x = np.zeros(n, np.uint64)
+    for j in range(4):
+        sel = nb > j
+        x[sel] |= body[starts[sel] + j] << np.uint64(8 * j)
+    return (x + RANS_STATE_MIN).astype(np.uint32), npre + total
+
+
+# ---------------------------------------------------------------------------
 # Image padding / cropping to stride multiples
 # ---------------------------------------------------------------------------
 
@@ -254,6 +305,12 @@ class RDList:
         kwargs['linewidth'] = kwargs.get('linewidth', 1.2)
         return ax.plot(stat['bpp'], stat['psnr'], label=stat['label'],
                        markersize=8, linestyle=ls, **kwargs)
+
+
+# suffixes eval loops accept — a stray .json/.txt in a dataset dir must
+# not crash Image.open (the reference globs '*.*' and does crash)
+IMAGE_SUFFIXES = {'.png', '.jpg', '.jpeg', '.bmp', '.webp', '.ppm', '.tif',
+                  '.tiff'}
 
 
 def pad_to_shape(img: Image.Image, h_tgt: int, w_tgt: int) -> Image.Image:
