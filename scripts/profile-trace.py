@@ -70,10 +70,15 @@ def main():
 
     model.compress_mode(coder='fused', esc_cap=8192, compute_dtype=cd)
 
-    # warm up both directions (compile outside the trace)
+    print("warmup compress...", flush=True)  # compile outside the trace
+    import time as _t
+    t = _t.perf_counter()
     bits = model.compress(imj, lmb=512.0)
+    print(f'compress done {_t.perf_counter()-t:.1f}s', flush=True)
+    t = _t.perf_counter()
     out = model.decompress(bits)
     np.asarray(out[0, :1, :1, 0])
+    print(f'decompress done {_t.perf_counter()-t:.1f}s', flush=True)
 
     import shutil
     shutil.rmtree(args.logdir, ignore_errors=True)

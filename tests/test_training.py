@@ -202,3 +202,30 @@ def test_loader_determinism_across_worker_counts(tmp_path):
     b = first_batches(3)
     for x, y in zip(a, b):
         assert np.array_equal(x, y)
+
+
+def test_decode_cache_matches_direct(tmp_path):
+    """decode_cache=True must return byte-identical samples (it only moves
+    PNG decode out of the per-epoch hot loop) and reuse a valid cache."""
+    from PIL import Image
+    from lvae_tpu.datasets import get_image_dateset
+    rng = np.random.default_rng(11)
+    d = tmp_path / 'imgs'
+    d.mkdir()
+    for i in range(4):
+        arr = rng.integers(0, 255, (70 + 10 * i, 90, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(d / f'im{i}.png')
+    plain = get_image_dateset(str(d), transform_cfg='crop=64,hflip=True')
+    cached = get_image_dateset(str(d), transform_cfg='crop=64,hflip=True',
+                               decode_cache=True)
+    assert (d / '.lvae_u8cache' / 'blob.bin').is_file()
+    for i in range(len(plain)):
+        a = plain.get(i, np.random.default_rng(i))
+        b = cached.get(i, np.random.default_rng(i))
+        assert np.array_equal(a, b)
+    # a second construction must REUSE the blob (same inode/mtime)
+    m0 = (d / '.lvae_u8cache' / 'blob.bin').stat().st_mtime_ns
+    again = get_image_dateset(str(d), transform_cfg='crop=64',
+                              decode_cache=True)
+    assert (d / '.lvae_u8cache' / 'blob.bin').stat().st_mtime_ns == m0
+    assert np.array_equal(again._load_u8(2), plain._load_u8(2))

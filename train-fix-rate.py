@@ -59,6 +59,7 @@ _SCHEMA = {
         ('fixseed', 'bool', True),
         ('amp', 'bool', False),   # bf16 compute (TPU analog of torch AMP)
         ('workers', int, 6),
+        ('data_cache', 'bool', False),  # pre-decode trainset to a raw uint8 blob
     ],
 }
 
@@ -89,7 +90,8 @@ def build_config(argv=None):
 class FixRateTrainer(BaseTrainingWrapper):
     def set_dataset(self):
         cfg = self.cfg
-        trainset = get_image_dateset(cfg.trainset, transform_cfg=cfg.transform)
+        trainset = get_image_dateset(cfg.trainset, transform_cfg=cfg.transform,
+                                     decode_cache=getattr(cfg, 'data_cache', False))
         self.make_training_loader(trainset)
         logging.info(f'train: {trainset.root} ({len(trainset)} images, '
                      f'{trainset.transform}); '

@@ -58,6 +58,7 @@ def parse_args():
     # bf16 mixed-precision compute (TPU analog of the reference's --amp)
     parser.add_argument('--amp',        action=argparse.BooleanOptionalAction, default=False)
     parser.add_argument('--workers',    type=int, default=6)
+    parser.add_argument('--data_cache', action=argparse.BooleanOptionalAction, default=False)
     cfg = parser.parse_args()
 
     cfg.wdecay = 0.0
@@ -115,7 +116,8 @@ class TrainWrapper(BaseTrainingWrapper):
     def set_dataset(self):
         cfg = self.cfg
         logging.info('==== Datasets and Dataloaders ====')
-        trainset = get_image_dateset(cfg.trainset, transform_cfg=cfg.transform)
+        trainset = get_image_dateset(cfg.trainset, transform_cfg=cfg.transform,
+                                     decode_cache=getattr(cfg, 'data_cache', False))
         self.make_training_loader(trainset)
         logging.info(f'Training root: {trainset.root}; N = {len(trainset)}')
 
