@@ -110,10 +110,17 @@ def build_indexes(scales, scale_table):
 
     Smallest index whose table entry >= scale; identical semantics to
     lvae_tpu.ops.cdf.build_indexes_np, and MUST stay in sync with it.
-    """
+
+    Implemented as a sum of broadcast compares rather than
+    jnp.searchsorted: the default searchsorted lowers to a lax.scan binary
+    search (an XLA while loop with a table gather per step), which on TPU
+    cost ~8 ms per 147k-element latent block inside the fused codec
+    programs — ~30 ms of the encode budget. One (nsym, 64) compare +
+    reduce stays on the VPU and fuses with the surrounding ops.
+    side='left' == count of table entries strictly below the scale."""
     st = jnp.asarray(scale_table, jnp.float32)
     scales = jnp.maximum(jnp.asarray(scales, jnp.float32), st[0])
-    idx = jnp.searchsorted(st, scales, side='left')
+    idx = jnp.sum(st < scales[..., None], axis=-1, dtype=jnp.int32)
     return jnp.minimum(idx, st.shape[0] - 1).astype(jnp.int32)
 
 

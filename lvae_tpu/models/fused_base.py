@@ -29,13 +29,43 @@ def cast_tree(params, dtype):
 
 class FusedCodecBase:
     def __init__(self, net, cdf_table, num_lanes=128, esc_cap=8192,
-                 compute_dtype=None, interpret=False):
+                 compute_dtype=None, interpret=False, head_cdf_table=None):
         self.net = net
         self.table = cdf_table
         cdfs_np, offs_np = prd.prepare_device_cdf(cdf_table)
         self.cdfs = jnp.asarray(cdfs_np)
         self.offsets_np = cdf_table.offsets.astype(np.int32)
         self.lengths_np = cdf_table.cdf_lengths.astype(np.int32)
+        self._check_table(cdf_table)
+        # encode-side tables: the encode kernel's hoisted gathers take ONE
+        # table for all symbols, so a lossless pixel head's table is
+        # CONCATENATED after the latent-block rows (head indexes biased by
+        # head_index_base on the encode side only; the decode kernel gets
+        # the separate per-block table + unbiased indexes, keeping its
+        # one-hot matmuls at the block table's width)
+        if head_cdf_table is not None:
+            self._check_table(head_cdf_table)
+            h_np, _ = prd.prepare_device_cdf(head_cdf_table)
+            L = max(cdfs_np.shape[1], h_np.shape[1])
+
+            def pad_l(a):
+                return np.pad(a, ((0, 0), (0, L - a.shape[1])),
+                              constant_values=prd._SENTINEL)
+            self.head_index_base = cdfs_np.shape[0]
+            self.enc_cdfs = jnp.asarray(
+                np.concatenate([pad_l(cdfs_np), pad_l(h_np)], axis=0))
+            self.enc_offsets_np = np.concatenate(
+                [self.offsets_np, head_cdf_table.offsets.astype(np.int32)])
+            self.enc_lengths_np = np.concatenate(
+                [self.lengths_np,
+                 head_cdf_table.cdf_lengths.astype(np.int32)])
+            self.head_cdfs = jnp.asarray(h_np)
+            self.head_offsets_np = head_cdf_table.offsets.astype(np.int32)
+        else:
+            self.head_index_base = None
+            self.enc_cdfs = self.cdfs
+            self.enc_offsets_np = self.offsets_np
+            self.enc_lengths_np = self.lengths_np
         self.N = int(num_lanes)
         self.esc_cap = int(esc_cap)
         self.compute_dtype = compute_dtype
@@ -44,6 +74,17 @@ class FusedCodecBase:
         self._dec_cache = {}
         self._pull_words = {}
 
+    @staticmethod
+    def _check_table(cdf_table):
+        # the packed-gather encode tables assume 16-bit freqs and 15-bit
+        # offsets/lengths (ops/pallas/rans_encode.py)
+        raw = cdf_table.cdfs.astype(np.int64)
+        for r, ln in zip(raw, cdf_table.cdf_lengths):
+            d = np.diff(r[:ln])
+            assert (d >= 1).all() and (d <= 0xFFFF).all(), \
+                'CDF row with zero-mass or >16-bit-frequency bin'
+        assert np.abs(cdf_table.offsets).max() < (1 << 15)
+        assert cdf_table.cdf_lengths.max() < (1 << 15)
     # subclasses provide _build_encode(imH, imW) and _build_decode(nH, nW)
 
     def _block_sizes(self, nH, nW):
@@ -190,8 +231,8 @@ class FusedCodecBase:
         one per latent block (decode order)."""
         from lvae_tpu.ops.pallas import rans_encode as pre
         N, esc_cap = self.N, self.esc_cap
-        offsets = jnp.asarray(self.offsets_np)
-        lengths = jnp.asarray(self.lengths_np)
+        offsets = jnp.asarray(self.enc_offsets_np)
+        lengths = jnp.asarray(self.enc_lengths_np)
         values = jnp.concatenate(syms_flat)
         idx_all = jnp.concatenate(idx_flat)
         inband, esc_mask = pre.prepare_inband(values, idx_all,
@@ -223,7 +264,7 @@ class FusedCodecBase:
             off += s
         buf, n_words, states = pre.rans_encode_all(
             jnp.concatenate(sym_rows), jnp.concatenate(idx_rows),
-            np.concatenate(row_ns), self.cdfs, num_lanes=N,
+            np.concatenate(row_ns), self.enc_cdfs, num_lanes=N,
             interpret=self.interpret)
         # words sit at buf[:n_words] in REVERSED stream order (the kernel
         # writes in push order; a device-side flip would be a slow dynamic

@@ -530,13 +530,14 @@ class QresModel(VAEModelBase):
         coder='host'   per-block C++ rANS (reference container layout)
         coder='device' staged programs + Pallas on-device decode (nB=1)
         coder='fused'  one XLA program per direction with on-device rANS in
-                       both directions (qresvae/fused.py); lossy models only
-                       — the default for them. Lossless defaults to 'host'."""
+                       both directions (qresvae/fused.py) — the default.
+                       For lossless models the pixel head is coded in the
+                       same stream (fused.py docstring)."""
         if coder is None:
-            coder = 'host' if self.lossless else 'fused'
+            coder = 'fused'
         assert coder in ('host', 'device', 'fused')
-        assert not (coder == 'fused' and self.lossless), \
-            'the lossless NLL head is not fused; use coder="host"/"device"'
+        assert not (coder == 'device' and self.lossless), \
+            'the staged device coder has no lossless head; use fused/host'
         if mode:
             self._block_coder.update()
             if self._head_coder is not None:
@@ -552,11 +553,16 @@ class QresModel(VAEModelBase):
                 self.num_lanes = 128
             elif coder == 'fused':
                 from lvae_tpu.models.qresvae.fused import FusedQresCodec
+                head_kw = {}
+                if self.lossless:
+                    head_kw = dict(
+                        head_cdf_table=self._head_coder._cdf_table,
+                        head_scale_table=self._head_coder.scale_table)
                 self._fused = FusedQresCodec(
                     self.net, self._block_coder._cdf_table,
                     num_lanes=num_lanes, esc_cap=esc_cap,
                     compute_dtype=compute_dtype,
-                    interpret=jax.default_backend() == 'cpu')
+                    interpret=jax.default_backend() == 'cpu', **head_kw)
                 self.num_lanes = num_lanes
         self.compressing = mode
 
@@ -711,7 +717,10 @@ class QresModel(VAEModelBase):
         if getattr(self, 'coder_kind', 'host') == 'fused':
             nB, fH, fW, _ = compressed_object[-1]
             img = self.decompress_to_device(compressed_object[0], fH, fW)
-            return np.asarray(img, dtype=np.float32)
+            img = np.asarray(img)
+            if img.dtype == np.uint8:      # lossless head returns exact u8
+                return img.astype(np.float32) / 255.0
+            return img.astype(np.float32)
         if self.lossless:
             head_strings = compressed_object[-1]
             compressed_object = compressed_object[:-1]

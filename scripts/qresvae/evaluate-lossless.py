@@ -19,13 +19,19 @@ def main():
     parser.add_argument('-m', '--model', type=str, default='qres34m_lossless')
     parser.add_argument('-a', '--model_args', type=str, default='')
     parser.add_argument('-n', '--dataset', type=str, default='kodak')
+    parser.add_argument('-c', '--coder', type=str, default='fused',
+                        choices=['host', 'fused'],
+                        help='fused = single-program on-device rANS incl. '
+                             'the pixel head; host = per-block C++ rANS')
     args = parser.parse_args()
 
     model = get_model(args.model, **parse_model_args(args.model_args))
-    model.compress_mode()
+    model.compress_mode(coder=args.coder)
 
+    from lvae_tpu.utils import coding
     root = known_datasets.get(args.dataset, Path(args.dataset))
-    img_paths = sorted(Path(root).rglob('*.*'))
+    img_paths = sorted(p for p in Path(root).rglob('*.*')
+                       if p.suffix.lower() in coding.IMAGE_SUFFIXES)
     tmp = Path(gettempdir()) / 'lossless.bits'
 
     bpps = []
