@@ -142,6 +142,30 @@ def main():
         host_d.append(time.perf_counter() - t1)
     bpp_host = len(bits_h) * 8 / (H * W)
 
+    # --------------- qres34m (reference latency table row 2) --------------
+    # reference README.md:49-56: RTX 3080 Ti qres34m enc+dec = 199 ms.
+    # Random init (no trained qres checkpoint in this environment), so a
+    # large escape capacity; latency is weight-independent.
+    qres = lvae_tpu.get_model('qres34m')
+    qres.params = jax.device_put(qres.params)
+    jax.block_until_ready(jax.tree.leaves(qres.params)[0])
+    qres.compress_mode(coder='fused', esc_cap=1 << 18)
+    im_dev_q = _jnp.asarray(im)
+    np.asarray(im_dev_q[0, :1, :1, 0])
+    obj = qres.compress(im_dev_q)            # warm: compile + first pulls
+    _ = qres.decompress(obj)
+    qres_e, qres_d = [], []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        obj = qres.compress(im_dev_q)
+        t1 = time.perf_counter()
+        _, fH, fW, _ = obj[-1]
+        img_dev = qres.decompress_to_device(obj[0], fH, fW)
+        np.asarray(img_dev[0, :1, :1, 0])
+        t2 = time.perf_counter()
+        qres_e.append(t1 - t0)
+        qres_d.append(t2 - t1)
+
     # --------------- pure device forward (pipelined estimate) -------------
     import jax.numpy as jnp
     imj = jnp.asarray(im)
@@ -191,6 +215,9 @@ def main():
             'host_bpp': round(bpp_host, 4),
             'fused_bpp_overhead': round(bpp_fused - bpp_host, 4),
             'device_forward_ms': round(fwd_ms, 3),
+            # second reference latency row (README.md:49-56, 199 ms GPU)
+            'qres34m_encode_ms': round(_median_ms(qres_e), 3),
+            'qres34m_decode_ms': round(_median_ms(qres_d), 3),
             'n_iter': n_iter,
             'device': str(jax.devices()[0])},
     }))

@@ -206,6 +206,12 @@ class BaseTrainingWrapper:
             in_shardings=(repl, data, repl, repl, repl, repl),
             out_shardings=(repl, repl),
             donate_argnums=(0,))
+        # non-donating twin for the opt-in device-step probe (compiled only
+        # if cfg.probe_device_step; donation would free self.state's buffers)
+        self._train_step_nodonate = jax.jit(
+            step_fn,
+            in_shardings=(repl, data, repl, repl, repl, repl),
+            out_shardings=(repl, repl))
 
     def set_pretrain(self):
         cfg = self.cfg
@@ -290,6 +296,37 @@ class BaseTrainingWrapper:
         except Exception as e:
             logging.warning(f'step-FLOPs estimate unavailable: {e}')
             return float('nan')
+
+    def _probe_device_step(self, batch, rng):
+        """Measure the DEVICE-ONLY train-step time (no data loading, no
+        metric pulls) by chaining k non-donating steps on a state copy and
+        syncing once — separates device MFU from end-to-end MFU in
+        train_log.jsonl. Opt-in (--probe_device_step): costs one extra
+        executable compile and a few throwaway steps at startup."""
+        import numpy as np
+        args = (jnp.float32(1e-9), jnp.float32(1e9), jnp.float32(0.5))
+        s, m = self._train_step_nodonate(self.state, batch, rng, *args)
+        float(m['loss'])                       # compile + sync
+
+        def run(k):
+            t0 = time.perf_counter()
+            s = self.state
+            out = None
+            for _ in range(k):
+                s, out = self._train_step_nodonate(s, batch, rng, *args)
+            float(out['loss'])                 # one synchronizing fetch
+            return time.perf_counter() - t0
+        run(1)
+        dt = min((run(5) - run(1)) / 4 for _ in range(2))
+        self._device_step_ms = dt * 1e3
+        if self._step_flops == self._step_flops and \
+                self._peak_flops == self._peak_flops:
+            self._device_mfu = self._step_flops / dt / self._peak_flops
+        else:
+            self._device_mfu = float('nan')
+        logging.info(f'device-only step: {self._device_step_ms:.1f} ms '
+                     f'({self.cfg.batch_size * self.world_size / dt:.1f} '
+                     f'img/s, device MFU {self._device_mfu * 100:.1f}%)')
 
     def _peak_flops_total(self):
         kind = jax.devices()[0].device_kind.lower()
@@ -380,6 +417,8 @@ class BaseTrainingWrapper:
                     logging.info(
                         f'train step = {self._step_flops / 1e9:.1f} GFLOPs '
                         f'(XLA cost analysis)')
+                if getattr(cfg, 'probe_device_step', False):
+                    self._probe_device_step(batch, step_rng)
                 self._t_prev = None    # first step pays compile; don't count
             median = self._moving_grad_norm_buffer.median() or 1e9
             warmup = cfg.ema_warmup or max(cfg.iterations // 20, 1)
@@ -458,8 +497,13 @@ class BaseTrainingWrapper:
                     cfg.batch_size * self.world_size / self._step_dt_ema, 2)
                 if self._step_flops == self._step_flops and \
                         self._peak_flops == self._peak_flops:
+                    # end-to-end MFU (includes host data/dispatch overheads)
                     rec['mfu'] = round(self._step_flops / self._step_dt_ema
                                        / self._peak_flops, 4)
+            if getattr(self, '_device_step_ms', None):
+                rec['device_step_ms'] = round(self._device_step_ms, 2)
+                if self._device_mfu == self._device_mfu:
+                    rec['device_mfu'] = round(self._device_mfu, 4)
             with open(self._log_dir / 'train_log.jsonl', 'a') as f:
                 f.write(json.dumps(rec) + '\n')
         if self._cur_iter % cfg.model_log_interval == 0 and \

@@ -60,6 +60,7 @@ _SCHEMA = {
         ('amp', 'bool', False),   # bf16 compute (TPU analog of torch AMP)
         ('workers', int, 6),
         ('data_cache', 'bool', False),  # pre-decode trainset to a raw uint8 blob
+        ('probe_device_step', 'bool', False),
     ],
 }
 

@@ -59,6 +59,7 @@ def parse_args():
     parser.add_argument('--amp',        action=argparse.BooleanOptionalAction, default=False)
     parser.add_argument('--workers',    type=int, default=6)
     parser.add_argument('--data_cache', action=argparse.BooleanOptionalAction, default=False)
+    parser.add_argument('--probe_device_step', action=argparse.BooleanOptionalAction, default=False)
     cfg = parser.parse_args()
 
     cfg.wdecay = 0.0
