@@ -73,6 +73,7 @@ class FusedCodecBase:
         self._enc_cache = {}
         self._dec_cache = {}
         self._pull_words = {}
+        self._dec_wrap = {}
 
     @staticmethod
     def _check_table(cdf_table):
@@ -206,16 +207,35 @@ class FusedCodecBase:
                 esc_pos, esc_val)
 
     def decode_to_device(self, params, body: bytes, nH, nW, *extra):
-        """Parse + push + run the fused decode program; returns the f16
-        image ON DEVICE (asynchronous; caller pulls or syncs)."""
+        """Parse + push + run the fused decode program; returns the image
+        ON DEVICE (asynchronous; caller pulls or syncs).
+
+        states/words/escapes are pushed as ONE int32 blob and split
+        in-program (static sizes per jit specialization): each host->device
+        transfer pays this environment's fixed tunnel cost, so transfer
+        COUNT dominates transfer size."""
         states, packed, esc_pos, esc_val = self.parse_payload(body)
         key = (nH, nW)
         if key not in self._dec_cache:
             self._dec_cache[key] = self._build_decode(nH, nW)
-        # jit re-specializes per (word-bucket, escape-bucket) shape
-        return self._dec_cache[key](
-            params, jnp.asarray(states), jnp.asarray(packed),
-            jnp.asarray(esc_pos), jnp.asarray(esc_val), *extra)
+        dec = self._dec_cache[key]
+        N = self.N
+        wb, eb = packed.size, esc_pos.size
+        wkey = (nH, nW, wb, eb)
+        wrap = self._dec_wrap.get(wkey)
+        if wrap is None:
+            def wrap(params, blob, *extra, _dec=dec, _wb=wb, _eb=eb):
+                st = blob[:N].reshape(1, N)
+                pk = blob[N:N + _wb]
+                ep = blob[N + _wb:N + _wb + _eb]
+                ev = blob[N + _wb + _eb:N + _wb + 2 * _eb]
+                return _dec(params, st, pk, ep, ev, *extra)
+            wrap = jax.jit(wrap)
+            if len(self._dec_wrap) > 64:
+                self._dec_wrap.clear()
+            self._dec_wrap[wkey] = wrap
+        blob = np.concatenate([states.ravel(), packed, esc_pos, esc_val])
+        return wrap(params, jnp.asarray(blob), *extra)
 
     # ---- in-program helpers shared by subclasses -------------------------
 
