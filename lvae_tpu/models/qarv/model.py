@@ -700,13 +700,42 @@ class QarvModel(VAEModelBase):
                 self._dev_offs = jnp.asarray(off_np)
                 self.num_lanes = 128
             elif coder == 'fused':
-                from lvae_tpu.models.qarv.fused import FusedQarvCodec
-                self._fused = FusedQarvCodec(
-                    self.net, self._coder._cdf_table, num_lanes=num_lanes,
+                self._fused_by_lanes = {}
+                self._fused_cfg = dict(
                     esc_cap=esc_cap, compute_dtype=compute_dtype,
                     interpret=jax.default_backend() == 'cpu')
-                self.num_lanes = num_lanes
+                self.num_lanes = num_lanes   # int, or 'auto' (by lambda)
+                self._fused = self._get_fused(
+                    num_lanes if num_lanes != 'auto' else 128)
         self.compressing = mode
+
+    def _get_fused(self, n_lanes: int):
+        codec = self._fused_by_lanes.get(n_lanes)
+        if codec is None:
+            from lvae_tpu.models.qarv.fused import FusedQarvCodec
+            codec = FusedQarvCodec(self.net, self._coder._cdf_table,
+                                   num_lanes=n_lanes, **self._fused_cfg)
+            self._fused_by_lanes[n_lanes] = codec
+        return codec
+
+    @staticmethod
+    def _auto_lanes(lmb: float) -> int:
+        """Deterministic rate-adaptive lane count (num_lanes='auto').
+
+        The interleaved-rANS stream carries a fixed per-image flush of
+        ~(3.5*N + N/4 + 10) bytes (compact lane states, utils/coding
+        .pack_states), so low-rate streams use fewer lanes to keep the
+        overhead under ~1% of the payload; fewer lanes = more sequential
+        kernel rows, so high-rate streams keep 128 for latency. The choice
+        is carried in the stream header's lane field — decode routes by
+        it, so any compressor-side policy stays decodable."""
+        if lmb <= 48:
+            return 16
+        if lmb <= 384:
+            return 32
+        if lmb <= 1536:
+            return 64
+        return 128
 
     def _block_params(self, k):
         """Per-block parameter subtree. Stage programs take ONLY their
@@ -788,6 +817,8 @@ class QarvModel(VAEModelBase):
         lmb_f32 = struct.unpack('f', struct.pack('f', lmb))[0]
         if getattr(self, 'coder_kind', 'host') == 'fused':
             nH, nW = imH // self.net.max_stride, imW // self.net.max_stride
+            if self.num_lanes == 'auto':
+                self._fused = self._get_fused(self._auto_lanes(lmb_f32))
             body = self._fused.encode(self.params, jnp.asarray(im),
                                       jnp.full((1,), lmb_f32, jnp.float32))
             return (struct.pack('f', lmb_f32) + struct.pack('3H', nB, nH, nW)
@@ -906,7 +937,9 @@ class QarvModel(VAEModelBase):
         speedtest times GPU-resident decode output the same way,
         scripts/speedtest-lvae.py:29-44)."""
         assert nB == 1
-        return self._fused.decode_to_device(
+        lanes = struct.unpack('<H', body[8:10])[0]   # route by stream header
+        fused = self._get_fused(lanes)
+        return fused.decode_to_device(
             self.params, body, nH, nW, jnp.full((1,), lmb, jnp.float32))
 
     def _decompress_device(self, lmb, nB, nH, nW, payload):

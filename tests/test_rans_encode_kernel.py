@@ -48,20 +48,25 @@ def _kernel_encode(table, vals, idxs, N=128):
     return words, states
 
 
-@pytest.mark.parametrize('sizes,esc_rate', [
-    ([5], 0.0),
-    ([300, 7, 129], 0.02),
-    ([1000, 999, 128, 1], 0.01),
-    ([256, 256], 0.0),           # exact full rows
+@pytest.mark.parametrize('sizes,esc_rate,N', [
+    ([5], 0.0, 128),
+    ([300, 7, 129], 0.02, 128),
+    ([1000, 999, 128, 1], 0.01, 128),
+    ([256, 256], 0.0, 128),      # exact full rows
+    # rate-adaptive lane counts (num_lanes='auto'): byte-identity must
+    # hold at every N the auto policy can pick
+    ([300, 7, 129], 0.02, 16),
+    ([1000, 999, 128, 1], 0.01, 32),
+    ([300, 7, 129], 0.0, 64),
 ])
-def test_encode_kernel_matches_oracle(table, sizes, esc_rate):
+def test_encode_kernel_matches_oracle(table, sizes, esc_rate, N):
     rng = np.random.default_rng(sum(sizes))
     vals, idxs = _random_blocks(rng, sizes, esc_rate)
-    enc = InterleavedEncoder(table, 128)
+    enc = InterleavedEncoder(table, N)
     for v, ix in zip(vals, idxs):
         enc.append_block(v, ix)
     st_ref, words_ref, _ = enc.finish()
-    words, states = _kernel_encode(table, vals, idxs)
+    words, states = _kernel_encode(table, vals, idxs, N=N)
     assert np.array_equal(words_ref, words)
     assert np.array_equal(st_ref, states)
 
