@@ -29,7 +29,8 @@ def main():
                          'omit for random init')
     ap.add_argument('--ema', action='store_true', help='use EMA params')
     ap.add_argument('--images', type=str, required=True)
-    ap.add_argument('--lmb', type=float, nargs='+', default=[256.0, 1024.0])
+    ap.add_argument('--lmb', type=float, nargs='+',
+                    default=[16.0, 64.0, 256.0, 1024.0])
     ap.add_argument('--first', type=int, default=8)
     args = ap.parse_args()
 
@@ -73,7 +74,7 @@ def main():
             npix = im.shape[1] * im.shape[2]
             model.compress_mode(coder='host')
             s_h = model.compress(im, lmb=lmb)
-            model.compress_mode(coder='fused')
+            model.compress_mode(coder='fused', num_lanes='auto')
             s_f = model.compress(im, lmb=lmb)
             assert (model.decompress(s_f)).shape == im.shape
             import struct

@@ -119,3 +119,39 @@ def test_full_model_conversion_coverage(name, rng_np):
     old = jax.tree.leaves(model.params)[0]
     new = jax.tree.leaves(new_params)[0]
     assert old.shape == new.shape
+
+
+def test_hf_checkpoint_container_roundtrip(tmp_path, rng_np):
+    """load_torch_checkpoint against a .pt packaged the way the reference's
+    HF checkpoints are loaded (lvae/models/qarv/zoo.py:92-95): nested
+    'model' key next to optimizer/scaler state, registered CompressAI CDF
+    buffers (int32 _quantized_cdf/_offset/_cdf_length), and a half-precision
+    tensor — extra buffers must be ignored, dtypes normalized to f32."""
+    import torch
+    import lvae_tpu
+    from lvae_tpu.models.port import load_torch_checkpoint
+
+    model = lvae_tpu.get_model('qarv_tiny')
+    sd_np = _synthetic_torch_sd(model, rng_np)
+    sd = {k: torch.from_numpy(v) for k, v in sd_np.items()}
+    # dtype quirk: HF fp16-saved tensor
+    first = next(iter(sd))
+    sd[first] = sd[first].half()
+    # registered entropy-model buffers the torch reference checkpoints carry
+    sd['entropy_model._quantized_cdf'] = torch.zeros(64, 249,
+                                                     dtype=torch.int32)
+    sd['entropy_model._offset'] = torch.zeros(64, dtype=torch.int32)
+    sd['entropy_model._cdf_length'] = torch.zeros(64, dtype=torch.int32)
+    path = tmp_path / 'ckpt.pt'
+    torch.save({'model': sd,
+                'optimizer': {'state': {}, 'param_groups': []},
+                'scaler': {'scale': 1.0},
+                'iteration': 123}, path)
+
+    new_params = load_torch_checkpoint(model, path)
+    ref_params = port.convert_state_dict(model, sd_np)
+    flat_a = jax.tree.leaves(new_params)
+    flat_b = jax.tree.leaves(ref_params)
+    for a, b in zip(flat_a, flat_b):
+        assert a.dtype == np.float32
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-3)  # fp16 leaf
