@@ -119,8 +119,11 @@ def main():
                         compute_dtype='bfloat16')
     bf16 = _measure_fused(model, im_dev, lmb, n_iter)
 
-    # headline: the faster production mode (both are bit-exact self-
-    # consistent; bf16's rate delta vs the f32 host stream is reported)
+    # headline: the faster production mode. Both modes are bit-exact
+    # self-consistent round trips; bf16's rate delta vs the f32 stream is
+    # bounded on trained-weight data and surfaced in detail
+    # ('bf16_vs_f32_bpp_delta'; r3 measured +0.005 bpp at a 1.5 bpp
+    # operating point, ~0.3%).
     best = bf16 if (bf16['enc_ms'] + bf16['dec_ms'] <
                     f32['enc_ms'] + f32['dec_ms']) else f32
     mode = 'bf16' if best is bf16 else 'f32'
@@ -211,6 +214,7 @@ def main():
             # escapes: zero with trained weights)
             'fused_bpp': round(bpp_fused, 4),
             'f32_fused_bpp': round(f32['bpp'], 4),
+            'bf16_vs_f32_bpp_delta': round(bf16['bpp'] - f32['bpp'], 4),
             'bf16_fused_bpp': round(bf16['bpp'], 4),
             'host_bpp': round(bpp_host, 4),
             'fused_bpp_overhead': round(bpp_fused - bpp_host, 4),

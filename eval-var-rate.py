@@ -28,6 +28,9 @@ def main():
     # pad images to <=N shape buckets (bounds XLA compile count on
     # mixed-shape datasets like CLIC); default: exact /stride padding
     parser.add_argument('-b', '--shape_buckets', type=int, default=None)
+    # BD-rate anchor curve; default auto-discovers the committed VTM anchor
+    # for the dataset (results/{set}/{set}-vtm18.0.json) when present
+    parser.add_argument('--bd_anchor', type=str, default='auto')
     args = parser.parse_args()
 
     kwargs = parse_model_args(args.model_args)
@@ -59,6 +62,22 @@ def main():
     json_data['device'] = str(jax.devices()[0])
     json_data['lambdas'] = lambdas
     json_data['results'] = all_lmb_stats
+    # BD-rate vs the anchor curve (reference computes this in notebooks via
+    # RDList; here it is part of the eval run so the number is on record)
+    anchor = args.bd_anchor
+    if anchor == 'auto':
+        cand = Path(f'results/{args.dataset_name}/'
+                    f'{args.dataset_name}-vtm18.0.json')
+        anchor = str(cand) if cand.exists() else None
+    if anchor:
+        from lvae_tpu.utils.coding import RDList
+        rd = RDList()
+        rd.add_json(anchor, label=Path(anchor).stem)
+        rd.add_data(bpp=all_lmb_stats['bpp'], psnr=all_lmb_stats['psnr'],
+                    label=args.model)
+        rd.set_bdrate_anchor(Path(anchor).stem)
+        json_data['bd-rate'] = rd.compute_bdrate()
+
     with open(save_json_path, 'w') as f:
         json.dump(json_data, fp=f, indent=4)
     print(f'\nSaved results to {save_json_path}\n')

@@ -28,6 +28,9 @@ def main():
                     help='orbax run checkpoint (runs/<run>/last); '
                          'omit for random init')
     ap.add_argument('--ema', action='store_true', help='use EMA params')
+    ap.add_argument('--weights', type=str, default=None,
+                    help='flat msgpack weights (e.g. the exported EMA '
+                         'runs/qarv_base_synth6k_ema.msgpack)')
     ap.add_argument('--images', type=str, required=True)
     ap.add_argument('--lmb', type=float, nargs='+',
                     default=[16.0, 64.0, 256.0, 1024.0])
@@ -46,7 +49,10 @@ def main():
     from PIL import Image
 
     model = lvae_tpu.get_model(args.model)
-    if args.ckpt:
+    if args.weights:
+        model.load_weights(args.weights)
+        print(f'# loaded weights {args.weights}')
+    elif args.ckpt:
         from lvae_tpu.training import checkpoint as ckpt
         from lvae_tpu.training.optim import create_train_state
         state, _ = create_train_state(model.params, optimizer='adam',

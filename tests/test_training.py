@@ -177,6 +177,24 @@ def test_bd_rate_known_value():
     assert abs(bd_rate(r, p, r2, p) - (-10.0)) < 1e-6
 
 
+def test_bd_rate_committed_anchors():
+    """RDList BD-rate on the real committed result files (reference:
+    lvae/utils/coding.py:167-267 + results/*.json): QARV and QRes-VAE each
+    beat the VTM 18.0 anchor on Kodak by the known margins."""
+    from pathlib import Path
+    from lvae_tpu.utils.coding import RDList
+    root = Path(__file__).resolve().parent.parent / 'results' / 'kodak'
+    rd = RDList()
+    rd.add_json(root / 'kodak-vtm18.0.json', label='vtm18.0')
+    rd.add_json(root / 'kodak-qarv_base.json', label='qarv_base')
+    rd.add_json(root / 'kodak-qres34m.json', label='qres34m')
+    rd.set_bdrate_anchor('vtm18.0')
+    out = rd.compute_bdrate()
+    assert abs(out['vtm18.0']) < 1e-9
+    assert abs(out['qarv_base'] - (-5.899)) < 0.05
+    assert abs(out['qres34m'] - (-4.086)) < 0.05
+
+
 def test_loader_determinism_across_worker_counts(tmp_path):
     """--fixseed reproducibility: batch stream depends only on
     (seed, shard, batch_number), not on worker count or thread timing
