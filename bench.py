@@ -119,11 +119,11 @@ def main():
                         compute_dtype='bfloat16')
     bf16 = _measure_fused(model, im_dev, lmb, n_iter)
 
-    # headline: the faster production mode. Both modes are bit-exact
-    # self-consistent round trips; bf16's rate delta vs the f32 stream is
-    # bounded on trained-weight data and surfaced in detail
-    # ('bf16_vs_f32_bpp_delta'; r3 measured +0.005 bpp at a 1.5 bpp
-    # operating point, ~0.3%).
+    # headline: the faster production mode. 'bf16' means backbone-only
+    # bf16 (qarv/fused.py precision policy — the decode-reproduced trunk
+    # always runs f32, so both modes round-trip bit-exact on hardware);
+    # its small rate delta vs the all-f32 stream is surfaced in detail
+    # ('bf16_vs_f32_bpp_delta').
     best = bf16 if (bf16['enc_ms'] + bf16['dec_ms'] <
                     f32['enc_ms'] + f32['dec_ms']) else f32
     mode = 'bf16' if best is bf16 else 'f32'

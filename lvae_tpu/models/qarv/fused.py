@@ -17,6 +17,17 @@ across the barriers, so both programs contain the same HLO subgraphs with
 the same inputs — validated bit-exact on real TPU hardware by
 scripts/tpu-validate-codec.py and guarded by round-trip tests.
 
+Precision policy (hardware-validated, round 3): barriers pin interface
+VALUES, but bf16 MXU accumulation order can still differ between two
+differently-shaped programs — running the shared trunk in bf16 desynced
+the rANS stream on real TPU (runs/tpu-validate-r3.json: one flipped scale
+index corrupts everything after it). f32 convs proved bit-stable across
+program shapes. So compute_dtype='bfloat16' now means BACKBONE-ONLY bf16:
+the encoder backbone's outputs only determine which symbols are WRITTEN
+(decode reads them from the stream, never recomputes them), so it may run
+at any precision; the lambda embedding, priors, fuses and synthesis tail —
+everything whose floats decode must reproduce — always run f32.
+
 Wire format (fused payload, little-endian):
     [I n_words][I n_esc][H num_lanes]
     [compact lane states: packed 2-bit length codes + truncated
@@ -86,26 +97,28 @@ class FusedQarvCodec(FusedCodecBase):
         net, N, cd = self.net, self.N, self.compute_dtype
 
         def enc_prog(params, im, lmb):
-            cparams = cast_tree(params, cd)
+            # backbone-only reduced precision (see module docstring): the
+            # trunk/prior/fuse path stays f32 so decode reproduces it bitwise
             emb = _ob(self._emb_stage(params, lmb))
-            emb_c = emb.astype(im.dtype if cd is None else jnp.dtype(cd))
+            emb_c = emb.astype(jnp.float32)
+            emb_bb = emb.astype(im.dtype if cd is None else jnp.dtype(cd))
             x = net.preprocess_input(im if cd is None else im.astype(cd))
             enc_features = {}
             for i, blk in enumerate(net.enc_blocks):
-                bp = cparams.get(f'enc_blocks_{i}', {})
+                bp = cast_tree(params.get(f'enc_blocks_{i}', {}), cd)
                 if isinstance(blk, common.SetKey):
-                    enc_features[blk.key] = x
+                    enc_features[blk.key] = x.astype(jnp.float32)
                 elif getattr(blk, 'requires_embedding', False):
-                    x = blk.apply({'params': bp}, x, emb_c)
+                    x = blk.apply({'params': bp}, x, emb_bb)
                 else:
                     x = blk.apply({'params': bp}, x) if bp else blk(x)
 
             nH, nW = imH // net.max_stride, imW // net.max_stride
-            bias = cparams['bias']
+            bias = params['bias']
             feature = _ob(jnp.broadcast_to(bias, (1, nH, nW, bias.shape[-1])))
             syms_flat, idx_flat = [], []
             for k, blk in enumerate(net.dec_blocks):
-                bp = cparams.get(f'dec_blocks_{k}', {})
+                bp = params.get(f'dec_blocks_{k}', {})
                 if getattr(blk, 'is_latent_block', False):
                     f_mid, pm, indexes = self._prior(blk, bp, feature, emb_c)
                     qm = blk.apply({'params': bp}, f_mid,
@@ -135,22 +148,23 @@ class FusedQarvCodec(FusedCodecBase):
     # ------------------------------------------------------- decode side
 
     def _build_decode(self, nH, nW):
-        net, N, cd = self.net, self.N, self.compute_dtype
+        net, N = self.net, self.N
         sizes = self._block_sizes(nH, nW)
         from lvae_tpu.models.qarv.model import _patch_escapes
 
         def dec_prog(params, states, packed, esc_pos, esc_val, lmb):
-            cparams = cast_tree(params, cd)
+            # decode is always f32: it must reproduce the encode trunk's
+            # floats bitwise (see module docstring precision policy)
             emb = _ob(self._emb_stage(params, lmb))
-            emb_c = emb.astype(jnp.float32 if cd is None else jnp.dtype(cd))
+            emb_c = emb.astype(jnp.float32)
             words = self.unpack_words(packed)
-            bias = cparams['bias']
+            bias = params['bias']
             feature = _ob(jnp.broadcast_to(bias, (1, nH, nW, bias.shape[-1])))
             ptr = jnp.int32(0)
             li = 0
             gstart = 0
             for k, blk in enumerate(net.dec_blocks):
-                bp = cparams.get(f'dec_blocks_{k}', {})
+                bp = params.get(f'dec_blocks_{k}', {})
                 if getattr(blk, 'is_latent_block', False):
                     f_mid, pm, indexes = self._prior(blk, bp, feature, emb_c)
                     nsym = sizes[li]

@@ -686,8 +686,10 @@ class QarvModel(VAEModelBase):
                        (round-1 path, kept as the fused path's oracle)
         coder='fused'  ONE XLA program per direction with on-device rANS in
                        both (models/qarv/fused.py) — the production path.
-        compute_dtype='bfloat16' runs the fused conv stacks in bf16 (prior
-        head and probability math stay f32)."""
+        compute_dtype='bfloat16' runs the fused ENCODER BACKBONE in bf16;
+        the trunk/priors/fuses/tail always stay f32 — r3 hardware
+        validation showed cross-program bf16 trunk numerics desync the
+        rANS stream (see qarv/fused.py docstring, runs/tpu-validate-r3)."""
         assert coder in ('host', 'device', 'fused')
         if mode:
             self._coder.update()

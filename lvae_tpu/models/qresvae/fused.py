@@ -55,20 +55,24 @@ class FusedQresCodec(FusedCodecBase):
         net, cd = self.net, self.compute_dtype
 
         def enc_prog(params, im):
-            cparams = cast_tree(params, cd)
+            # backbone-only reduced precision: decode never recomputes the
+            # backbone's floats (symbols are read from the stream), so only
+            # enc_blocks may run at compute_dtype; the trunk whose values
+            # decode must reproduce bitwise stays f32 (see qarv/fused.py
+            # module docstring for the hardware finding behind this).
             x = net.preprocess_input(im if cd is None else im.astype(cd))
             enc_features = {}
             for i, blk in enumerate(net.enc_blocks):
-                bp = cparams.get(f'enc_blocks_{i}', {})
+                bp = cast_tree(params.get(f'enc_blocks_{i}', {}), cd)
                 x = blk.apply({'params': bp}, x) if bp else blk(x)
-                enc_features[int(x.shape[1])] = x
+                enc_features[int(x.shape[1])] = x.astype(jnp.float32)
 
             nH, nW = imH // net.max_stride, imW // net.max_stride
-            bias = cparams['bias']
+            bias = params['bias']
             feature = _ob(jnp.broadcast_to(bias, (1, nH, nW, bias.shape[-1])))
             syms_flat, idx_flat = [], []
             for k, blk in enumerate(net.dec_blocks):
-                bp = cparams.get(f'dec_blocks_{k}', {})
+                bp = params.get(f'dec_blocks_{k}', {})
                 if getattr(blk, 'is_latent_block', False):
                     f_mid, pm, indexes = self._prior(blk, bp, feature)
                     res = int(f_mid.shape[1])
@@ -112,21 +116,21 @@ class FusedQresCodec(FusedCodecBase):
     # ------------------------------------------------------- decode side
 
     def _build_decode(self, nH, nW):
-        net, N, cd = self.net, self.N, self.compute_dtype
+        net, N = self.net, self.N
         sizes = self._block_sizes(nH, nW)
         imH, imW = nH * net.max_stride, nW * net.max_stride
         from lvae_tpu.models.qarv.model import _patch_escapes
 
         def dec_prog(params, states, packed, esc_pos, esc_val):
-            cparams = cast_tree(params, cd)
+            # decode is always f32 (precision policy: qarv/fused.py)
             words = self.unpack_words(packed)
-            bias = cparams['bias']
+            bias = params['bias']
             feature = _ob(jnp.broadcast_to(bias, (1, nH, nW, bias.shape[-1])))
             ptr = jnp.int32(0)
             li = 0
             gstart = 0
             for k, blk in enumerate(net.dec_blocks):
-                bp = cparams.get(f'dec_blocks_{k}', {})
+                bp = params.get(f'dec_blocks_{k}', {})
                 if getattr(blk, 'is_latent_block', False):
                     f_mid, pm, indexes = self._prior(blk, bp, feature)
                     nsym = sizes[li]

@@ -532,7 +532,10 @@ class QresModel(VAEModelBase):
         coder='fused'  one XLA program per direction with on-device rANS in
                        both directions (qresvae/fused.py) — the default.
                        For lossless models the pixel head is coded in the
-                       same stream (fused.py docstring)."""
+                       same stream (fused.py docstring).
+        compute_dtype='bfloat16' applies to the fused ENCODER BACKBONE
+        only; everything decode must reproduce bitwise stays f32 (see
+        qarv/fused.py precision policy)."""
         if coder is None:
             coder = 'fused'
         assert coder in ('host', 'device', 'fused')

@@ -55,6 +55,16 @@ def run(script, argv):
 def main():
     results = {}
 
+    # forward-eval vs coded-recon PSNR (explains the eval-var-rate curve)
+    rc, out = run('scripts/probe-distortion-parity.py', [])
+    results['distortion_probe_rc'] = rc
+    (ROOT / 'runs' / 'distortion-parity-r3.txt').write_text(out)
+
+    # post-searchsorted-fix latency attribution (STATUS ms-by-ms budget)
+    rc, out = run('scripts/profile-fused-attrib.py', [])
+    results['attrib_rc'] = rc
+    (ROOT / 'runs' / 'fused-attrib-r3.txt').write_text(out)
+
     rc, out = run('scripts/measure-rate-overhead.py',
                   ['--weights', 'runs/qarv_base_synth6k_ema.msgpack',
                    '--images', 'runs/synth-val',
