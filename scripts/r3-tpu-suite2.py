@@ -55,6 +55,28 @@ def run(script, argv):
 def main():
     results = {}
 
+    # re-validate bf16 (now backbone-only) on hardware at both shapes;
+    # merge into runs/tpu-validate-r3.json over the failed r3a entries
+    validate = {}
+    for hw in ((512, 768), (768, 512)):
+        rc, out = run('scripts/tpu-validate-codec.py',
+                      ['--hw', str(hw[0]), str(hw[1]), '--iters', '3',
+                       '--bf16'])
+        validate[f'{hw[0]}x{hw[1]}_bf16'] = {
+            'rc': rc,
+            'bit_exact': ('BIT-EXACT vs encode-side recon: True' in out)
+            and rc == 0,
+            'note': 'backbone-only bf16 (commit a6b368f)',
+            'tail': out.strip().splitlines()[-8:],
+        }
+    vpath = ROOT / 'runs' / 'tpu-validate-r3.json'
+    art = json.loads(vpath.read_text())
+    art.setdefault('revalidate_bf16_backbone_only', {}).update(validate)
+    vpath.write_text(json.dumps(art, indent=2))
+    results['revalidate_bf16_ok'] = all(
+        v['bit_exact'] for v in validate.values())
+    print(f'revalidate_bf16_ok={results["revalidate_bf16_ok"]}', flush=True)
+
     # forward-eval vs coded-recon PSNR (explains the eval-var-rate curve)
     rc, out = run('scripts/probe-distortion-parity.py', [])
     results['distortion_probe_rc'] = rc
