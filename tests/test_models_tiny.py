@@ -414,3 +414,35 @@ def test_qarv_auto_lanes_roundtrip():
         assert lanes == expect, (lmb, lanes, expect)
         rec = m.decompress(bits)
         assert rec.shape == im.shape and np.isfinite(rec).all()
+
+
+def test_fused_bf16_precision_policy():
+    """compute_dtype='bfloat16' must be backbone-only: the decode program
+    (everything decode recomputes) contains NO bf16 ops, and the encode
+    program uses bf16 only for the encoder backbone. Guards the r3
+    hardware finding (runs/tpu-validate-r3.json): bf16 MXU numerics are
+    not bit-stable across differently-shaped XLA programs, so a bf16
+    trunk desyncs the rANS stream."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import lvae_tpu
+
+    m = lvae_tpu.get_model('qarv_tiny')
+    m.compress_mode(coder='fused', compute_dtype='bfloat16')
+    codec = m._fused
+    H = W = 64
+    dec = codec._build_decode(H // m.net.max_stride, W // m.net.max_stride)
+    N = codec.N
+    args = (m.params, jnp.zeros((1, N), jnp.int32),
+            jnp.zeros((1024,), jnp.int32), jnp.zeros((8,), jnp.int32),
+            jnp.zeros((8,), jnp.int32), jnp.asarray([512.0], jnp.float32))
+    dec_hlo = jax.jit(dec).lower(*args).as_text()
+    assert 'bf16' not in dec_hlo, \
+        'decode program must stay f32 (precision policy, qarv/fused.py)'
+
+    enc = codec._build_encode(H, W)
+    im = jnp.zeros((1, H, W, 3), jnp.float32)
+    enc_hlo = jax.jit(enc).lower(m.params, im,
+                                 jnp.float32([512.0])).as_text()
+    assert 'bf16' in enc_hlo, 'encode backbone should run bf16'
