@@ -206,36 +206,75 @@ class FusedCodecBase:
         return (states.view(np.int32).reshape(1, N).copy(), packed,
                 esc_pos, esc_val)
 
+    def _canon_sizes(self, nH, nW):
+        """Canonical (packed-words, escape-buffer) lengths for image shape
+        (nH, nW): the decode program is compiled ONCE per shape against
+        these worst-case static sizes, regardless of how many words or
+        escapes a particular stream carries.
+
+        This is load-bearing for correctness, not just compile count: the
+        r3 distortion-parity probe caught trained-weight fused decodes
+        reconstructing 7-10 dB low while random-init validation was
+        bit-exact — the old path re-jitted the WHOLE decode per
+        (word-bucket, escape-bucket) size, and a differently-specialized
+        compilation of the trunk can drift in its low float bits, flip a
+        scale index, and desync the rANS stream. One executable per shape
+        means the binary that hardware validation proves bit-exact is the
+        binary every stream runs through."""
+        total = sum(self._block_sizes(nH, nW))
+        if self.head_index_base is not None:
+            ms = self.net.max_stride
+            total += (nH * ms) * (nW * ms) * 3
+        # 16-bit renorm emits at most 2 words per coded symbol, plus slack
+        words_cap = self._word_bucket(2 * total + 2 * self.N + 64)
+        eb = 128
+        while eb < self.esc_cap:
+            eb *= 2
+        return words_cap // 2, eb
+
     def decode_to_device(self, params, body: bytes, nH, nW, *extra):
         """Parse + push + run the fused decode program; returns the image
         ON DEVICE (asynchronous; caller pulls or syncs).
 
-        states/words/escapes are pushed as ONE int32 blob and split
-        in-program (static sizes per jit specialization): each host->device
-        transfer pays this environment's fixed tunnel cost, so transfer
-        COUNT dominates transfer size."""
+        states/words/escapes are pushed as ONE small int32 blob (each
+        host->device transfer pays this environment's fixed tunnel cost,
+        so transfer COUNT dominates transfer size). A tiny integer-only
+        `prep` program (jitted per blob size; pure memory movement, no
+        float ops — cannot drift) pads them into the canonical static
+        shapes, and the SINGLE per-shape decode executable consumes them
+        (see _canon_sizes for why decode must not specialize per stream
+        size)."""
         states, packed, esc_pos, esc_val = self.parse_payload(body)
         key = (nH, nW)
         if key not in self._dec_cache:
             self._dec_cache[key] = self._build_decode(nH, nW)
         dec = self._dec_cache[key]
         N = self.N
+        PK, EB = self._canon_sizes(nH, nW)
         wb, eb = packed.size, esc_pos.size
-        wkey = (nH, nW, wb, eb)
-        wrap = self._dec_wrap.get(wkey)
-        if wrap is None:
-            def wrap(params, blob, *extra, _dec=dec, _wb=wb, _eb=eb):
+        assert wb <= PK and eb <= EB, \
+            f'stream exceeds canonical buffers: {wb}>{PK} or {eb}>{EB}'
+        pkey = (nH, nW, wb, eb)
+        prep = self._dec_wrap.get(pkey)
+        if prep is None:
+            def prep(blob, _wb=wb, _eb=eb, _PK=PK, _EB=EB):
                 st = blob[:N].reshape(1, N)
-                pk = blob[N:N + _wb]
-                ep = blob[N + _wb:N + _wb + _eb]
-                ev = blob[N + _wb + _eb:N + _wb + 2 * _eb]
-                return _dec(params, st, pk, ep, ev, *extra)
-            wrap = jax.jit(wrap)
+                pk = jnp.zeros((_PK,), jnp.int32)
+                pk = jax.lax.dynamic_update_slice(pk, blob[N:N + _wb], (0,))
+                ep = jnp.full((_EB,), -1, jnp.int32)
+                ep = jax.lax.dynamic_update_slice(
+                    ep, blob[N + _wb:N + _wb + _eb], (0,))
+                ev = jnp.zeros((_EB,), jnp.int32)
+                ev = jax.lax.dynamic_update_slice(
+                    ev, blob[N + _wb + _eb:N + _wb + 2 * _eb], (0,))
+                return st, pk, ep, ev
+            prep = jax.jit(prep)
             if len(self._dec_wrap) > 64:
                 self._dec_wrap.clear()
-            self._dec_wrap[wkey] = wrap
+            self._dec_wrap[pkey] = prep
         blob = np.concatenate([states.ravel(), packed, esc_pos, esc_val])
-        return wrap(params, jnp.asarray(blob), *extra)
+        st, pk, ep, ev = prep(jnp.asarray(blob))
+        return dec(params, st, pk, ep, ev, *extra)
 
     # ---- in-program helpers shared by subclasses -------------------------
 

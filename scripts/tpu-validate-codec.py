@@ -29,6 +29,14 @@ def main():
     ap.add_argument('--bf16', action='store_true')
     ap.add_argument('--lmb', type=float, default=1024.0)
     ap.add_argument('--iters', type=int, default=5)
+    ap.add_argument('--weights', type=str, default=None,
+                    help='flat msgpack weights: validates the PRODUCTION '
+                         'config (trained stats, esc_cap 8192) instead of '
+                         'the random-init escape stress case')
+    ap.add_argument('--esc_cap', type=int, default=1 << 18,
+                    help='fused escape capacity; use 8192 with --weights '
+                         'to validate the production decode binary '
+                         '(esc_cap shapes the canonical escape buffer)')
     args = ap.parse_args()
 
     import os
@@ -44,6 +52,9 @@ def main():
     im = (rng.integers(0, 256, (1, H, W, 3)) / 255.0).astype(np.float32)
 
     model = lvae_tpu.get_model(args.model)
+    if args.weights:
+        model.load_weights(args.weights)
+        print(f'loaded {args.weights}')
     cd = 'bfloat16' if args.bf16 else None
 
     # --- reference recon via the staged device coder (round-1 oracle) ----
@@ -57,7 +68,7 @@ def main():
     # --- fused codec ------------------------------------------------------
     import jax.numpy as jnp
     model.compress_mode(coder='fused', num_lanes=args.lanes,
-                        esc_cap=1 << 18, compute_dtype=cd)
+                        esc_cap=args.esc_cap, compute_dtype=cd)
     lmb_f32 = struct.unpack('f', struct.pack('f', args.lmb))[0]
     lmb_arr = jnp.full((1,), lmb_f32, jnp.float32)
     t0 = time.perf_counter()
