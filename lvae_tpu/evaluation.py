@@ -134,11 +134,13 @@ def video_fast_evaluate(model, dataset='uvg-1080p', max_frames=None):
     root = known_datasets.get(dataset, Path(dataset))
     root = Path(root)
     assert root.is_dir(), f'cannot find {root} as a directory'
-    sequence_paths = sorted(root.iterdir())
+    sequence_paths = sorted(p for p in root.iterdir() if p.is_dir())
     accumulated = defaultdict(float)
     count = 0
+    from lvae_tpu.utils import coding
     for seq_path in sequence_paths:
-        frame_paths = sorted(seq_path.rglob('*.*'))
+        frame_paths = sorted(p for p in seq_path.rglob('*.*')
+                             if p.suffix.lower() in coding.IMAGE_SUFFIXES)
         if max_frames is not None:
             frame_paths = frame_paths[:max_frames]
         frames = [np.asarray(image_to_batch(

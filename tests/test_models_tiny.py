@@ -446,3 +446,39 @@ def test_fused_bf16_precision_policy():
     enc_hlo = jax.jit(enc).lower(m.params, im,
                                  jnp.float32([512.0])).as_text()
     assert 'bf16' in enc_hlo, 'encode backbone should run bf16'
+
+
+def test_fused_decode_single_canonical_executable(image):
+    """Streams of different sizes must all run through ONE decode executable
+    per image shape, fed by integer-only prep programs. Guards the r3
+    hardware finding (runs/fused-divergence-r3.txt): re-specializing the
+    decode trunk per stream-size bucket lets f32 low-bit drift between
+    compilations flip a scale index and desync the rANS stream
+    (fused_base._canon_sizes)."""
+    import jax
+    import numpy as np
+    import lvae_tpu
+
+    m = lvae_tpu.get_model('qarv_tiny')
+    m.compress_mode(coder='fused')
+    rec_a = m.decompress(m.compress(image, lmb=16))
+    rec_b = m.decompress(m.compress(image, lmb=2048))
+    # many escapes -> a different escape-buffer bucket -> a different
+    # prep program, but the SAME decode executable
+    m.params = _inflate_posteriors(m.params, 300.0)
+    rec_c = m.decompress(m.compress(image, lmb=1024))
+    for r in (rec_a, rec_b, rec_c):
+        assert np.isfinite(r).all()
+
+    codec = m._fused
+    assert len(codec._dec_cache) == 1, \
+        'decode must compile exactly once per image shape'
+    assert len(codec._dec_wrap) >= 1
+    # every prep program is pure integer memory movement: no float ops
+    N = codec.N
+    for (nH, nW, wb, eb), prep in codec._dec_wrap.items():
+        blob = np.zeros(N + wb + 2 * eb, np.int32)
+        jx = str(jax.make_jaxpr(prep)(blob))
+        for fdt in ('f32', 'f64', 'bf16', 'f16'):
+            assert fdt not in jx, \
+                f'prep program for bucket {(wb, eb)} contains {fdt} ops'
