@@ -1,10 +1,11 @@
 """Shared machinery for the single-program (fused) codecs.
 
-Each model family subclasses FusedCodecBase with its own _build_encode /
-_build_decode chain builders; the payload layout, adaptive single-pull
-logic, and stream parsing are family-independent. See qarv/fused.py for the
-design rationale (one XLA program per direction, optimization-barrier
-bit-exactness discipline, wire format).
+Each model family subclasses FusedCodecBase with its own _build_codec chain
+builder; the payload layout, adaptive single-pull logic, and stream parsing
+are family-independent. See qarv/fused.py for the design rationale (ONE
+compiled executable serving encode, selfcheck-encode AND decode via a
+runtime mode operand — the bit-exactness discipline), and for the wire
+format.
 """
 import struct
 
@@ -70,8 +71,8 @@ class FusedCodecBase:
         self.esc_cap = int(esc_cap)
         self.compute_dtype = compute_dtype
         self.interpret = bool(interpret)
-        self._enc_cache = {}
-        self._dec_cache = {}
+        self._codec_cache = {}
+        self._dummy_cache = {}
         self._pull_words = {}
         self._dec_wrap = {}
 
@@ -105,8 +106,44 @@ class FusedCodecBase:
         return sizes
 
 
+    # mode operand values for the unified codec program
+    MODE_ENC = 0
+    MODE_DEC = 1
+
+    def _codec(self, imH, imW):
+        key = (imH, imW)
+        if key not in self._codec_cache:
+            self._codec_cache[key] = self._build_codec(imH, imW)
+        return self._codec_cache[key]
+
+    def _dummies(self, imH, imW):
+        """Device-resident canonical-shape dummy operands + flag scalars.
+
+        The unified program takes BOTH directions' operands every call:
+        encode feeds zero stream buffers (its decode branches are
+        cond-skipped), decode feeds a zero image (its backbone branch is
+        cond-skipped). Created once per image shape and kept on device —
+        no recurring host->device traffic."""
+        key = (imH, imW)
+        d = self._dummy_cache.get(key)
+        if d is None:
+            nH = imH // self.net.max_stride
+            nW = imW // self.net.max_stride
+            PK, EB = self._canon_sizes(nH, nW)
+            d = dict(
+                im=jnp.zeros((1, imH, imW, 3), jnp.float32),
+                states=jnp.zeros((1, self.N), jnp.int32),
+                packed=jnp.zeros((PK,), jnp.int32),
+                esc_pos=jnp.full((EB,), -1, jnp.int32),
+                esc_val=jnp.zeros((EB,), jnp.int32),
+                enc=jnp.int32(self.MODE_ENC), dec=jnp.int32(self.MODE_DEC),
+                off=jnp.int32(0), on=jnp.int32(1))
+            self._dummy_cache[key] = d
+        return d
+
     def encode(self, params, im, *extra):
-        """Run the fused encode program and assemble the payload bytes.
+        """Run the unified codec program in encode mode and assemble the
+        payload bytes.
 
         Payload layout: [3+N scalars/states][packed words ((n_words+1)//2)]
         [escape (pos,val) pairs (n_esc)][slack] — the escape pairs are
@@ -115,23 +152,24 @@ class FusedCodecBase:
         (trained weights: ~zero escapes; untrained weights no longer pay a
         second 27ms-floor fetch for the escape region)."""
         _, imH, imW, _ = im.shape
-        key = (imH, imW)
-        if key not in self._enc_cache:
-            self._enc_cache[key] = self._build_encode(imH, imW)
-        payload = self._enc_cache[key](params, im, *extra)
-        return self._payload_to_bytes(payload, key)
+        d = self._dummies(imH, imW)
+        payload, _ = self._codec(imH, imW)(
+            params, im, d['enc'], d['off'], d['states'], d['packed'],
+            d['esc_pos'], d['esc_val'], *extra)
+        return self._payload_to_bytes(payload, (imH, imW))
 
     def encode_check(self, params, im, *extra):
-        """Self-check encode: also returns the f16 image reconstructed from
-        the ENCODE-side symbols — the decode program must match it bitwise
-        (validation only; one extra synthesis-tail pass)."""
+        """Self-check encode: also returns the image reconstructed from the
+        ENCODE-side symbols — decode mode must match it bitwise. This is
+        the SAME executable as encode() and decode_to_device() (want_image
+        is a runtime operand), so the check exercises the production
+        binary."""
         import numpy as _np
         _, imH, imW, _ = im.shape
-        key = (imH, imW, 'check')
-        if key not in self._enc_cache:
-            self._enc_cache[key] = self._build_encode(imH, imW,
-                                                      selfcheck=True)
-        payload, img = self._enc_cache[key](params, im, *extra)
+        d = self._dummies(imH, imW)
+        payload, img = self._codec(imH, imW)(
+            params, im, d['enc'], d['on'], d['states'], d['packed'],
+            d['esc_pos'], d['esc_val'], *extra)
         return self._payload_to_bytes(payload, (imH, imW)), _np.asarray(img)
 
     def _payload_to_bytes(self, payload, key):
@@ -233,22 +271,22 @@ class FusedCodecBase:
         return words_cap // 2, eb
 
     def decode_to_device(self, params, body: bytes, nH, nW, *extra):
-        """Parse + push + run the fused decode program; returns the image
-        ON DEVICE (asynchronous; caller pulls or syncs).
+        """Parse + push + run the unified codec program in decode mode;
+        returns the image ON DEVICE (asynchronous; caller pulls or syncs).
 
         states/words/escapes are pushed as ONE small int32 blob (each
         host->device transfer pays this environment's fixed tunnel cost,
         so transfer COUNT dominates transfer size). A tiny integer-only
         `prep` program (jitted per blob size; pure memory movement, no
         float ops — cannot drift) pads them into the canonical static
-        shapes, and the SINGLE per-shape decode executable consumes them
-        (see _canon_sizes for why decode must not specialize per stream
-        size)."""
+        shapes, and the SINGLE per-shape codec executable consumes them
+        (see _canon_sizes and qarv/fused.py for why the codec must not
+        specialize per stream size or per direction)."""
         states, packed, esc_pos, esc_val = self.parse_payload(body)
-        key = (nH, nW)
-        if key not in self._dec_cache:
-            self._dec_cache[key] = self._build_decode(nH, nW)
-        dec = self._dec_cache[key]
+        ms = self.net.max_stride
+        imH, imW = nH * ms, nW * ms
+        dec = self._codec(imH, imW)
+        d = self._dummies(imH, imW)
         N = self.N
         PK, EB = self._canon_sizes(nH, nW)
         wb, eb = packed.size, esc_pos.size
@@ -274,7 +312,9 @@ class FusedCodecBase:
             self._dec_wrap[pkey] = prep
         blob = np.concatenate([states.ravel(), packed, esc_pos, esc_val])
         st, pk, ep, ev = prep(jnp.asarray(blob))
-        return dec(params, st, pk, ep, ev, *extra)
+        _, img = dec(params, d['im'], d['dec'], d['on'],
+                     st, pk, ep, ev, *extra)
+        return img
 
     # ---- in-program helpers shared by subclasses -------------------------
 

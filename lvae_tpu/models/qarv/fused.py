@@ -1,32 +1,44 @@
-"""Single-program QARV codec: ONE XLA program per direction.
+"""Single-program QARV codec: ONE XLA executable for BOTH directions.
 
 Round-1 staged coding issued ~30 per-block stage dispatches on encode and
 ~20 (plus Pallas decode calls) on decode; through a tunneled TPU runtime the
-per-call Python/dispatch overhead dominated latency. Here the whole encode
-(backbone -> all latent blocks -> on-device interleaved-rANS encode kernel ->
-packed payload) is one jitted program, and the whole decode (emb -> per-block
-prior -> Pallas rANS decode -> fuse -> ... -> f16 image) is another. Host
+per-call Python/dispatch overhead dominated latency. Here the whole codec
+is one jitted program per image shape with a runtime `mode` operand:
+encode mode runs backbone -> latent trunk -> on-device interleaved-rANS
+encode kernel -> packed payload; decode mode runs latent trunk (symbols
+from the Pallas rANS decode kernels) -> synthesis tail -> image. Host
 traffic per image: ONE payload pull on encode, ONE stream push + ONE image
 pull (or tiny sync) on decode.
 
-Bit-exactness across the two programs: encode and decode are no longer the
-same compiled executables, so every stage shared by both sides (lambda
-embedding, prior, fuse, plain blocks) is bracketed with
-jax.lax.optimization_barrier at identical interface points. XLA cannot fuse
-across the barriers, so both programs contain the same HLO subgraphs with
-the same inputs — validated bit-exact on real TPU hardware by
-scripts/tpu-validate-codec.py and guarded by round-trip tests.
+Bit-exactness (the load-bearing design decision, round-3 hardware
+history): an arithmetic-coded stream desyncs if the decoder's recomputed
+prior/fuse floats differ from the encoder's by even one scale-index flip.
+Three schemes failed on real TPU hardware before this one:
+  1. bf16 shared trunk across two programs — bf16 MXU accumulation order
+     differs per program; desynced immediately (runs/tpu-validate-r3.json).
+  2. f32 trunk in two barrier-bracketed programs (encode + decode) —
+     f32 is *almost* bit-stable across program shapes, but trained-weight
+     statistics exposed ~1e-5 cross-program drift that the autoregressive
+     latent feedback amplified into index flips (runs/fused-divergence-r3:
+     max|dpm| grows 0 -> 2.7 over 9 blocks).
+  3. per-stream-size decode re-specialization — same failure one level
+     down (each word-bucket got its own drifted binary).
+The only construction that cannot drift is ONE binary: the trunk (lambda
+embedding, priors, fuses) appears at exactly one call site in one compiled
+executable, so encode and decode run the SAME machine code on the same
+integer symbol inputs — bitwise equality by determinism of the hardware,
+not by hoping the compiler fuses two programs identically. Everything
+direction-specific lives in jax.lax.cond branches whose results join the
+trunk only through integer selects (symbols) or dead outputs (payload in
+decode mode, image in encode mode), so branch numerics CANNOT perturb the
+trunk, and untaken branches cost nothing at runtime.
 
-Precision policy (hardware-validated, round 3): barriers pin interface
-VALUES, but bf16 MXU accumulation order can still differ between two
-differently-shaped programs — running the shared trunk in bf16 desynced
-the rANS stream on real TPU (runs/tpu-validate-r3.json: one flipped scale
-index corrupts everything after it). f32 convs proved bit-stable across
-program shapes. So compute_dtype='bfloat16' now means BACKBONE-ONLY bf16:
-the encoder backbone's outputs only determine which symbols are WRITTEN
+Precision policy: compute_dtype='bfloat16' means BACKBONE-ONLY bf16: the
+encoder backbone's outputs only determine which symbols are WRITTEN
 (decode reads them from the stream, never recomputes them), so it may run
-at any precision; the lambda embedding, priors, fuses and synthesis tail —
-everything whose floats decode must reproduce — always run f32.
+at any precision — and it sits inside the encode-mode cond. The lambda
+embedding, priors, fuses and synthesis tail — everything whose floats both
+modes must agree on — always run f32 in the shared straight-line trunk.
 
 Wire format (fused payload, little-endian):
     [I n_words][I n_esc][H num_lanes]
@@ -86,106 +98,141 @@ class FusedQarvCodec(FusedCodecBase):
             out = block(feature)
         return _ob(out)
 
-    # ------------------------------------------------------- encode side
+    # ------------------------------------------------- the unified program
 
-    def _build_encode(self, imH, imW, selfcheck=False):
-        """selfcheck=True additionally runs the synthesis tail with the
-        ENCODE-side symbols and returns (payload, f16 image): if the decode
-        program's image equals it bitwise, every shared stage (prior/fuse)
-        reproduced the encoder's floats exactly — the fused-codec invariant
-        validated on hardware by scripts/tpu-validate-codec.py."""
+    def _build_codec(self, imH, imW):
+        """One executable: prog(params, im, mode, want_image, states,
+        packed, esc_pos, esc_val, lmb) -> (payload, image).
+
+        mode==MODE_ENC: symbols from the posterior (backbone cond taken),
+        payload is live, image is live iff want_image (the selfcheck).
+        mode==MODE_DEC: symbols from the rANS decode kernels, payload dead.
+        The shared trunk is straight-line — see the module docstring."""
         net, N, cd = self.net, self.N, self.compute_dtype
-
-        def enc_prog(params, im, lmb):
-            # backbone-only reduced precision (see module docstring): the
-            # trunk/prior/fuse path stays f32 so decode reproduces it bitwise
-            emb = _ob(self._emb_stage(params, lmb))
-            emb_c = emb.astype(jnp.float32)
-            emb_bb = emb.astype(im.dtype if cd is None else jnp.dtype(cd))
-            x = net.preprocess_input(im if cd is None else im.astype(cd))
-            enc_features = {}
-            for i, blk in enumerate(net.enc_blocks):
-                bp = cast_tree(params.get(f'enc_blocks_{i}', {}), cd)
-                if isinstance(blk, common.SetKey):
-                    enc_features[blk.key] = x.astype(jnp.float32)
-                elif getattr(blk, 'requires_embedding', False):
-                    x = blk.apply({'params': bp}, x, emb_bb)
-                else:
-                    x = blk.apply({'params': bp}, x) if bp else blk(x)
-
-            nH, nW = imH // net.max_stride, imW // net.max_stride
-            bias = params['bias']
-            feature = _ob(jnp.broadcast_to(bias, (1, nH, nW, bias.shape[-1])))
-            syms_flat, idx_flat = [], []
-            for k, blk in enumerate(net.dec_blocks):
-                bp = params.get(f'dec_blocks_{k}', {})
-                if getattr(blk, 'is_latent_block', False):
-                    f_mid, pm, indexes = self._prior(blk, bp, feature, emb_c)
-                    qm = blk.apply({'params': bp}, f_mid,
-                                   enc_features[blk.enc_key], emb_c,
-                                   method='posterior_qm')
-                    syms = jnp.round(qm.astype(jnp.float32) -
-                                     pm.astype(jnp.float32)).astype(jnp.int32)
-                    syms = _ob(syms)
-                    feature = self._fuse(blk, bp, f_mid, pm, syms, emb_c)
-                    syms_flat.append(syms.reshape(-1))
-                    idx_flat.append(indexes.reshape(-1).astype(jnp.int32))
-                elif isinstance(blk, common.CompressionStopFlag):
-                    if selfcheck:
-                        continue
-                    break
-                else:
-                    feature = self._plain(blk, bp, feature, emb_c)
-            payload = self.pack_payload(syms_flat, idx_flat)
-            if selfcheck:
-                im_out = jnp.clip(feature.astype(jnp.float32),
-                                  -1.0, 1.0) * 0.5 + 0.5
-                return payload, im_out.astype(jnp.float16)
-            return payload
-
-        return jax.jit(enc_prog)
-
-    # ------------------------------------------------------- decode side
-
-    def _build_decode(self, nH, nW):
-        net, N = self.net, self.N
+        nH, nW = imH // net.max_stride, imW // net.max_stride
         sizes = self._block_sizes(nH, nW)
         from lvae_tpu.models.qarv.model import _patch_escapes
 
-        def dec_prog(params, states, packed, esc_pos, esc_val, lmb):
-            # decode is always f32: it must reproduce the encode trunk's
-            # floats bitwise (see module docstring precision policy)
+        blocks = list(net.dec_blocks)
+        stop = next(i for i, b in enumerate(blocks)
+                    if isinstance(b, common.CompressionStopFlag))
+        offsets_np = self.offsets_np
+
+        def prog(params, im, mode, want_image, states, packed,
+                 esc_pos, esc_val, lmb):
+            is_dec = jnp.equal(mode, jnp.int32(self.MODE_DEC))
             emb = _ob(self._emb_stage(params, lmb))
             emb_c = emb.astype(jnp.float32)
             words = self.unpack_words(packed)
+
+            # ---- encode-only backbone (bf16-able: its outputs only pick
+            # which symbols are written; inside the cond so decode mode
+            # skips it entirely)
+            def _backbone():
+                emb_bb = emb.astype(im.dtype if cd is None else jnp.dtype(cd))
+                x = net.preprocess_input(im if cd is None else im.astype(cd))
+                feats = []
+                for i, blk in enumerate(net.enc_blocks):
+                    bp = cast_tree(params.get(f'enc_blocks_{i}', {}), cd)
+                    if isinstance(blk, common.SetKey):
+                        feats.append(x.astype(jnp.float32))
+                    elif getattr(blk, 'requires_embedding', False):
+                        x = blk.apply({'params': bp}, x, emb_bb)
+                    else:
+                        x = blk.apply({'params': bp}, x) if bp else blk(x)
+                return tuple(feats)
+
+            bb_shapes = jax.eval_shape(_backbone)
+            feats = jax.lax.cond(
+                is_dec,
+                lambda: tuple(jnp.zeros(s.shape, s.dtype) for s in bb_shapes),
+                _backbone)
+            enc_features = dict(zip(
+                [b.key for b in net.enc_blocks
+                 if isinstance(b, common.SetKey)], feats))
+
+            # ---- shared trunk: straight-line f32, one call site per stage
             bias = params['bias']
             feature = _ob(jnp.broadcast_to(bias, (1, nH, nW, bias.shape[-1])))
             ptr = jnp.int32(0)
             li = 0
             gstart = 0
-            for k, blk in enumerate(net.dec_blocks):
+            syms_flat, idx_flat = [], []
+            for k, blk in enumerate(blocks[:stop]):
                 bp = params.get(f'dec_blocks_{k}', {})
                 if getattr(blk, 'is_latent_block', False):
                     f_mid, pm, indexes = self._prior(blk, bp, feature, emb_c)
                     nsym = sizes[li]
                     T = max((nsym + N - 1) // N, 1)
-                    idx_rows = jnp.pad(indexes.reshape(-1).astype(jnp.int32),
-                                       (0, T * N - nsym)).reshape(T, N)
-                    syms_TN, states, ptr = prd.rans_decode_block(
-                        idx_rows, states, ptr, words, self.cdfs,
-                        jnp.asarray(self.offsets_np), jnp.int32(nsym),
-                        num_lanes=N, interpret=self.interpret)
-                    z = syms_TN.reshape(-1)[:nsym].reshape(indexes.shape)
-                    z = _patch_escapes(z, esc_pos, esc_val, jnp.int32(gstart))
-                    z = _ob(z)
-                    feature = self._fuse(blk, bp, f_mid, pm, z, emb_c)
+                    idx_i = indexes.reshape(-1).astype(jnp.int32)
+                    idx_rows = jnp.pad(idx_i, (0, T * N - nsym)).reshape(T, N)
+                    zshape = indexes.shape
+
+                    def _dec(st_pt, idx_rows=idx_rows, nsym=nsym,
+                             zshape=zshape, gs=gstart):
+                        st, p = st_pt
+                        syms_TN, st2, p2 = prd.rans_decode_block(
+                            idx_rows, st, p, words, self.cdfs,
+                            jnp.asarray(offsets_np), jnp.int32(nsym),
+                            num_lanes=N, interpret=self.interpret)
+                        z = syms_TN.reshape(-1)[:nsym].reshape(zshape)
+                        z = _patch_escapes(z, esc_pos, esc_val,
+                                           jnp.int32(gs))
+                        return st2, p2, z
+
+                    def _dec_skip(st_pt, zshape=zshape):
+                        st, p = st_pt
+                        return st, p, jnp.zeros(zshape, jnp.int32)
+
+                    states, ptr, z_dec = jax.lax.cond(
+                        is_dec, _dec, _dec_skip, (states, ptr))
+
+                    def _enc(blk=blk, bp=bp, f_mid=f_mid, pm=pm,
+                             ek=blk.enc_key):
+                        qm = blk.apply({'params': bp}, f_mid,
+                                       enc_features[ek], emb_c,
+                                       method='posterior_qm')
+                        return jnp.round(
+                            qm.astype(jnp.float32) -
+                            pm.astype(jnp.float32)).astype(jnp.int32)
+
+                    syms_enc = jax.lax.cond(
+                        is_dec,
+                        lambda zshape=zshape: jnp.zeros(zshape, jnp.int32),
+                        _enc)
+                    # integer select: the ONLY junction between the
+                    # direction-specific branches and the shared trunk
+                    syms = _ob(jnp.where(is_dec, z_dec, syms_enc))
+                    feature = self._fuse(blk, bp, f_mid, pm, syms, emb_c)
+                    syms_flat.append(syms.reshape(-1))
+                    idx_flat.append(idx_i)
                     gstart += nsym
                     li += 1
-                elif isinstance(blk, common.CompressionStopFlag):
-                    continue
                 else:
                     feature = self._plain(blk, bp, feature, emb_c)
-            im = jnp.clip(feature.astype(jnp.float32), -1.0, 1.0) * 0.5 + 0.5
-            return im.astype(jnp.float16)
 
-        return jax.jit(dec_prog)
+            # ---- encode-only rANS encode kernel + payload assembly
+            def _pack():
+                return self.pack_payload(syms_flat, idx_flat)
+            pshape = jax.eval_shape(_pack)
+            payload = jax.lax.cond(
+                is_dec,
+                lambda: jnp.zeros(pshape.shape, pshape.dtype), _pack)
+
+            # ---- synthesis tail (decode + selfcheck; image is the final
+            # output — nothing feeds back into coding)
+            def _tail(feat):
+                for k2 in range(stop + 1, len(blocks)):
+                    bp2 = params.get(f'dec_blocks_{k2}', {})
+                    feat = self._plain(blocks[k2], bp2, feat, emb_c)
+                im_out = jnp.clip(feat.astype(jnp.float32),
+                                  -1.0, 1.0) * 0.5 + 0.5
+                return im_out.astype(jnp.float16)
+
+            image = jax.lax.cond(
+                jnp.equal(want_image, jnp.int32(1)), _tail,
+                lambda feat: jnp.zeros((1, imH, imW, 3), jnp.float16),
+                feature)
+            return payload, image
+
+        return jax.jit(prog)

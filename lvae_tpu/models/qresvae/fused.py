@@ -49,108 +49,114 @@ class FusedQresCodec(FusedCodecBase):
         out = block.apply({'params': bp}, feature) if bp else block(feature)
         return _ob(out)
 
-    # ------------------------------------------------------- encode side
+    # ------------------------------------------------- the unified program
 
-    def _build_encode(self, imH, imW, selfcheck=False):
-        net, cd = self.net, self.compute_dtype
+    def _build_codec(self, imH, imW):
+        """One executable for both directions (see qarv/fused.py for the
+        bit-exactness rationale): prog(params, im, mode, want_image,
+        states, packed, esc_pos, esc_val) -> (payload, image).
 
-        def enc_prog(params, im):
-            # backbone-only reduced precision: decode never recomputes the
-            # backbone's floats (symbols are read from the stream), so only
-            # enc_blocks may run at compute_dtype; the trunk whose values
-            # decode must reproduce bitwise stays f32 (see qarv/fused.py
-            # module docstring for the hardware finding behind this).
-            x = net.preprocess_input(im if cd is None else im.astype(cd))
-            enc_features = {}
-            for i, blk in enumerate(net.enc_blocks):
-                bp = cast_tree(params.get(f'enc_blocks_{i}', {}), cd)
-                x = blk.apply({'params': bp}, x) if bp else blk(x)
-                enc_features[int(x.shape[1])] = x.astype(jnp.float32)
-
-            nH, nW = imH // net.max_stride, imW // net.max_stride
-            bias = params['bias']
-            feature = _ob(jnp.broadcast_to(bias, (1, nH, nW, bias.shape[-1])))
-            syms_flat, idx_flat = [], []
-            for k, blk in enumerate(net.dec_blocks):
-                bp = params.get(f'dec_blocks_{k}', {})
-                if getattr(blk, 'is_latent_block', False):
-                    f_mid, pm, indexes = self._prior(blk, bp, feature)
-                    res = int(f_mid.shape[1])
-                    qm = blk.apply({'params': bp}, f_mid, enc_features[res],
-                                   method='posterior_qm')
-                    syms = jnp.round(qm.astype(jnp.float32) -
-                                     pm.astype(jnp.float32)).astype(jnp.int32)
-                    syms = _ob(syms)
-                    feature = self._fuse(blk, bp, f_mid, pm, syms)
-                    syms_flat.append(syms.reshape(-1))
-                    idx_flat.append(indexes.reshape(-1).astype(jnp.int32))
-                else:
-                    feature = self._plain(blk, bp, feature)
-            if self.head_index_base is not None:
-                # lossless pixel head: one more coded "block". f32 with
-                # uncast params — must match the decode side bit-exactly.
-                x_tgt = (im.astype(jnp.float32) - 0.5) * 2.0
-                pm, plogv, x = net.apply(
-                    {'params': params}, feature.astype(jnp.float32), x_tgt,
-                    method=net.out_codec_tensors)
-                head_idx = ec.build_indexes(jnp.exp(plogv),
-                                            self.head_scale_table)
-                syms = jnp.round(x - pm).astype(jnp.int32)
-                syms_flat.append(syms.reshape(-1))
-                idx_flat.append((head_idx + self.head_index_base)
-                                .reshape(-1).astype(jnp.int32))
-            payload = self.pack_payload(syms_flat, idx_flat)
-            if selfcheck:
-                if self.head_index_base is not None:
-                    x_hat = (syms.astype(jnp.float32) + pm) * \
-                        net.out_net.bin_size
-                    im_out = jnp.clip(x_hat, -1.0, 1.0) * 0.5 + 0.5
-                    return payload, jnp.round(im_out * 255).astype(jnp.uint8)
-                im_out = jnp.clip(feature.astype(jnp.float32),
-                                  -1.0, 1.0) * 0.5 + 0.5
-                return payload, im_out.astype(jnp.float16)
-            return payload
-
-        return jax.jit(enc_prog)
-
-    # ------------------------------------------------------- decode side
-
-    def _build_decode(self, nH, nW):
-        net, N = self.net, self.N
+        For the MSE head, blocks after the last latent block form the
+        synthesis tail (cond'd on want_image). For the lossless NLL head
+        the WHOLE chain plus the head's pm/plogv math is trunk — the head
+        indexes determine coding, so they must come from the shared
+        straight-line f32 path; only the pixel-symbol source is
+        mode-selected."""
+        net, N, cd = self.net, self.N, self.compute_dtype
+        nH, nW = imH // net.max_stride, imW // net.max_stride
         sizes = self._block_sizes(nH, nW)
-        imH, imW = nH * net.max_stride, nW * net.max_stride
         from lvae_tpu.models.qarv.model import _patch_escapes
 
-        def dec_prog(params, states, packed, esc_pos, esc_val):
-            # decode is always f32 (precision policy: qarv/fused.py)
+        blocks = list(net.dec_blocks)
+        last_latent = max(i for i, b in enumerate(blocks)
+                          if getattr(b, 'is_latent_block', False))
+        # lossless: the head consumes the FULL chain's feature -> no tail
+        stop = len(blocks) if self.head_index_base is not None \
+            else last_latent + 1
+        offsets_np = self.offsets_np
+
+        def prog(params, im, mode, want_image, states, packed,
+                 esc_pos, esc_val):
+            is_dec = jnp.equal(mode, jnp.int32(self.MODE_DEC))
             words = self.unpack_words(packed)
+
+            def _backbone():
+                x = net.preprocess_input(im if cd is None else im.astype(cd))
+                feats = {}   # last feature per resolution wins (ref parity)
+                for i, blk in enumerate(net.enc_blocks):
+                    bp = cast_tree(params.get(f'enc_blocks_{i}', {}), cd)
+                    x = blk.apply({'params': bp}, x) if bp else blk(x)
+                    feats[int(x.shape[1])] = x.astype(jnp.float32)
+                return tuple(feats.values())
+
+            bb_shapes = jax.eval_shape(_backbone)
+            feats = jax.lax.cond(
+                is_dec,
+                lambda: tuple(jnp.zeros(s.shape, s.dtype) for s in bb_shapes),
+                _backbone)
+            # keyed by spatial resolution (reference: qresvae/model.py:195)
+            enc_features = {int(s.shape[1]): f
+                            for s, f in zip(bb_shapes, feats)}
+
             bias = params['bias']
             feature = _ob(jnp.broadcast_to(bias, (1, nH, nW, bias.shape[-1])))
             ptr = jnp.int32(0)
             li = 0
             gstart = 0
-            for k, blk in enumerate(net.dec_blocks):
+            syms_flat, idx_flat = [], []
+            for k, blk in enumerate(blocks[:stop]):
                 bp = params.get(f'dec_blocks_{k}', {})
                 if getattr(blk, 'is_latent_block', False):
                     f_mid, pm, indexes = self._prior(blk, bp, feature)
                     nsym = sizes[li]
                     T = max((nsym + N - 1) // N, 1)
-                    idx_rows = jnp.pad(indexes.reshape(-1).astype(jnp.int32),
-                                       (0, T * N - nsym)).reshape(T, N)
-                    syms_TN, states, ptr = prd.rans_decode_block(
-                        idx_rows, states, ptr, words, self.cdfs,
-                        jnp.asarray(self.offsets_np), jnp.int32(nsym),
-                        num_lanes=N, interpret=self.interpret)
-                    z = syms_TN.reshape(-1)[:nsym].reshape(indexes.shape)
-                    z = _patch_escapes(z, esc_pos, esc_val, jnp.int32(gstart))
-                    z = _ob(z)
-                    feature = self._fuse(blk, bp, f_mid, pm, z)
+                    idx_i = indexes.reshape(-1).astype(jnp.int32)
+                    idx_rows = jnp.pad(idx_i, (0, T * N - nsym)).reshape(T, N)
+                    zshape = indexes.shape
+
+                    def _dec(st_pt, idx_rows=idx_rows, nsym=nsym,
+                             zshape=zshape, gs=gstart):
+                        st, p = st_pt
+                        syms_TN, st2, p2 = prd.rans_decode_block(
+                            idx_rows, st, p, words, self.cdfs,
+                            jnp.asarray(offsets_np), jnp.int32(nsym),
+                            num_lanes=N, interpret=self.interpret)
+                        z = syms_TN.reshape(-1)[:nsym].reshape(zshape)
+                        z = _patch_escapes(z, esc_pos, esc_val,
+                                           jnp.int32(gs))
+                        return st2, p2, z
+
+                    def _dec_skip(st_pt, zshape=zshape):
+                        st, p = st_pt
+                        return st, p, jnp.zeros(zshape, jnp.int32)
+
+                    states, ptr, z_dec = jax.lax.cond(
+                        is_dec, _dec, _dec_skip, (states, ptr))
+
+                    def _enc(blk=blk, bp=bp, f_mid=f_mid, pm=pm):
+                        qm = blk.apply({'params': bp}, f_mid,
+                                       enc_features[int(f_mid.shape[1])],
+                                       method='posterior_qm')
+                        return jnp.round(
+                            qm.astype(jnp.float32) -
+                            pm.astype(jnp.float32)).astype(jnp.int32)
+
+                    syms_enc = jax.lax.cond(
+                        is_dec,
+                        lambda zshape=zshape: jnp.zeros(zshape, jnp.int32),
+                        _enc)
+                    syms = _ob(jnp.where(is_dec, z_dec, syms_enc))
+                    feature = self._fuse(blk, bp, f_mid, pm, syms)
+                    syms_flat.append(syms.reshape(-1))
+                    idx_flat.append(idx_i)
                     gstart += nsym
                     li += 1
                 else:
                     feature = self._plain(blk, bp, feature)
+
             if self.head_index_base is not None:
-                # decode the pixel head against ITS table (unbiased idx)
+                # lossless pixel head: pm/plogv/indexes are trunk (shared,
+                # f32, uncast params); only the symbol source is selected
                 pm, plogv = net.apply(
                     {'params': params}, feature.astype(jnp.float32),
                     method=net.out_codec_tensors)
@@ -160,16 +166,67 @@ class FusedQresCodec(FusedCodecBase):
                 T = (nsym + N - 1) // N
                 idx_rows = jnp.pad(head_idx.reshape(-1).astype(jnp.int32),
                                    (0, T * N - nsym)).reshape(T, N)
-                syms_TN, states, ptr = prd.rans_decode_block(
-                    idx_rows, states, ptr, words, self.head_cdfs,
-                    jnp.asarray(self.head_offsets_np), jnp.int32(nsym),
-                    num_lanes=N, interpret=self.interpret)
-                xs = syms_TN.reshape(-1)[:nsym].reshape(pm.shape)
-                xs = _patch_escapes(xs, esc_pos, esc_val, jnp.int32(gstart))
-                x_hat = (xs.astype(jnp.float32) + pm) * net.out_net.bin_size
-                im = jnp.clip(x_hat, -1.0, 1.0) * 0.5 + 0.5
-                return jnp.round(im * 255).astype(jnp.uint8)
-            im = jnp.clip(feature.astype(jnp.float32), -1.0, 1.0) * 0.5 + 0.5
-            return im.astype(jnp.float16)
 
-        return jax.jit(dec_prog)
+                def _dec_head(st_pt, gs=gstart):
+                    st, p = st_pt
+                    syms_TN, st2, p2 = prd.rans_decode_block(
+                        idx_rows, st, p, words, self.head_cdfs,
+                        jnp.asarray(self.head_offsets_np), jnp.int32(nsym),
+                        num_lanes=N, interpret=self.interpret)
+                    xs = syms_TN.reshape(-1)[:nsym].reshape(pm.shape)
+                    return st2, p2, _patch_escapes(
+                        xs, esc_pos, esc_val, jnp.int32(gs))
+
+                def _dec_head_skip(st_pt):
+                    st, p = st_pt
+                    return st, p, jnp.zeros(pm.shape, jnp.int32)
+
+                states, ptr, xs_dec = jax.lax.cond(
+                    is_dec, _dec_head, _dec_head_skip, (states, ptr))
+
+                def _enc_head():
+                    x = ((im.astype(jnp.float32) - 0.5) * 2.0) / \
+                        net.out_net.bin_size
+                    return jnp.round(x - pm).astype(jnp.int32)
+
+                xs_enc = jax.lax.cond(
+                    is_dec, lambda: jnp.zeros(pm.shape, jnp.int32),
+                    _enc_head)
+                xs = _ob(jnp.where(is_dec, xs_dec, xs_enc))
+                syms_flat.append(xs.reshape(-1))
+                idx_flat.append((head_idx + self.head_index_base)
+                                .reshape(-1).astype(jnp.int32))
+
+            def _pack():
+                return self.pack_payload(syms_flat, idx_flat)
+            pshape = jax.eval_shape(_pack)
+            payload = jax.lax.cond(
+                is_dec,
+                lambda: jnp.zeros(pshape.shape, pshape.dtype), _pack)
+
+            if self.head_index_base is not None:
+                def _img_head():
+                    x_hat = (xs.astype(jnp.float32) + pm) * \
+                        net.out_net.bin_size
+                    im_out = jnp.clip(x_hat, -1.0, 1.0) * 0.5 + 0.5
+                    return jnp.round(im_out * 255).astype(jnp.uint8)
+                image = jax.lax.cond(
+                    jnp.equal(want_image, jnp.int32(1)), _img_head,
+                    lambda: jnp.zeros((1, imH, imW, 3), jnp.uint8))
+                return payload, image
+
+            def _tail(feat):
+                for k2 in range(stop, len(blocks)):
+                    bp2 = params.get(f'dec_blocks_{k2}', {})
+                    feat = self._plain(blocks[k2], bp2, feat)
+                im_out = jnp.clip(feat.astype(jnp.float32),
+                                  -1.0, 1.0) * 0.5 + 0.5
+                return im_out.astype(jnp.float16)
+
+            image = jax.lax.cond(
+                jnp.equal(want_image, jnp.int32(1)), _tail,
+                lambda feat: jnp.zeros((1, imH, imW, 3), jnp.float16),
+                feature)
+            return payload, image
+
+        return jax.jit(prog)

@@ -65,6 +65,10 @@ def main():
         run(1)
         return min((run(k) - run(1)) / (k - 1) for _ in range(3)) * 1e3
 
+    # HISTORICAL (r3): this probe compared the pre-unified-codec encode and
+    # decode programs with/without barriers; the codec is now ONE program
+    # (qarv/fused.py) and the old builders are gone.
+    raise SystemExit('obsolete: predates the unified codec (see qarv/fused.py)')
     model.compress_mode(coder='fused', esc_cap=8192, compute_dtype=cd)
     fused = model._fused
     enc = fused._build_encode(H, W)

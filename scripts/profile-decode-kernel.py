@@ -192,8 +192,15 @@ def main():
           f'{bench(jax.jit(k4), model.params, idx_cat, sj, pj, ej, vj, lmb_arr):7.1f} ms',
           flush=True)
 
-    # K5: the production decode program
-    dec_fn = fused._dec_cache[(nH, nW)]
+    # K5: the production unified codec in decode mode
+    ms = fused.net.max_stride
+    codec_fn = fused._codec(nH * ms, nW * ms)
+    dm = fused._dummies(nH * ms, nW * ms)
+
+    def dec_fn(params, s, p, e, v, lmb):
+        _, img = codec_fn(params, dm['im'], dm['dec'], dm['on'],
+                          s, p, e, v, lmb)
+        return img
     print(f'K5 production fused decode     : '
           f'{bench(dec_fn, model.params, sj, pj, ej, vj, lmb_arr):7.1f} ms',
           flush=True)

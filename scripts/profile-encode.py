@@ -42,10 +42,13 @@ def main():
         imj = jnp.asarray(im)
         lmb_arr = jnp.full((1,), lmb, jnp.float32)
         fused = model._fused
-        key = (H, W)
-        if key not in fused._enc_cache:
-            fused._enc_cache[key] = fused._build_encode(H, W)
-        enc_fn = fused._enc_cache[key]
+        codec_fn = fused._codec(H, W)
+        dm = fused._dummies(H, W)
+
+        def enc_fn(params, im, lmb):
+            p, _ = codec_fn(params, im, dm['enc'], dm['off'], dm['states'],
+                            dm['packed'], dm['esc_pos'], dm['esc_val'], lmb)
+            return p
         payload = enc_fn(model.params, imj, lmb_arr)
         np.asarray(payload[:4])  # warm + prepay first fetch
         bits = model.compress(im, lmb=lmb)

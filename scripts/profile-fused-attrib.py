@@ -99,9 +99,13 @@ def main():
     model.compress_mode(coder='fused', esc_cap=8192, compute_dtype=cd)
     fused = model._fused
     key = (H, W)
-    if key not in fused._enc_cache:
-        fused._enc_cache[key] = fused._build_encode(H, W)
-    enc_fn = fused._enc_cache[key]
+    codec_fn = fused._codec(H, W)
+    dm = fused._dummies(H, W)
+
+    def enc_fn(params, im, lmb):
+        p, _ = codec_fn(params, im, dm['enc'], dm['off'], dm['states'],
+                        dm['packed'], dm['esc_pos'], dm['esc_val'], lmb)
+        return p
     payload = enc_fn(model.params, imj, lmb_arr)
     np.asarray(payload[:4])
     bits = model.compress(imj, lmb=lmb)
@@ -145,8 +149,11 @@ def main():
     nB, nH, nW = struct.unpack('3H', bits[4:10])
     body = bits[10:]
     states, packed, esc_pos, esc_val = fused.parse_payload(body)
-    dkey = (nH, nW)
-    dec_fn = fused._dec_cache[dkey]
+
+    def dec_fn(params, sj, pj, ej, vj, lmb):
+        _, img = codec_fn(params, dm['im'], dm['dec'], dm['on'],
+                          sj, pj, ej, vj, lmb)
+        return img
 
     parse_t = []
     for _ in range(5):
@@ -162,8 +169,13 @@ def main():
         c = jnp.asarray(esc_pos); d = jnp.asarray(esc_val)
         np.asarray(a[0, :1])
         push_t.append(time.perf_counter() - t0)
-    sj, pj, ej, vj = (jnp.asarray(states), jnp.asarray(packed),
-                      jnp.asarray(esc_pos), jnp.asarray(esc_val))
+    # pad to the canonical static shapes the unified program expects
+    PK, EB = fused._canon_sizes(nH, nW)
+    pk_c = np.zeros(PK, np.int32); pk_c[:packed.size] = packed
+    ep_c = np.full(EB, -1, np.int32); ep_c[:esc_pos.size] = esc_pos
+    ev_c = np.zeros(EB, np.int32); ev_c[:esc_val.size] = esc_val
+    sj, pj, ej, vj = (jnp.asarray(states), jnp.asarray(pk_c),
+                      jnp.asarray(ep_c), jnp.asarray(ev_c))
 
     dec_disp = min(time_dispatch(dec_fn, model.params, sj, pj, ej, vj,
                                  lmb_arr, k=8) for _ in range(3))

@@ -416,36 +416,37 @@ def test_qarv_auto_lanes_roundtrip():
         assert rec.shape == im.shape and np.isfinite(rec).all()
 
 
-def test_fused_bf16_precision_policy():
-    """compute_dtype='bfloat16' must be backbone-only: the decode program
-    (everything decode recomputes) contains NO bf16 ops, and the encode
-    program uses bf16 only for the encoder backbone. Guards the r3
-    hardware finding (runs/tpu-validate-r3.json): bf16 MXU numerics are
-    not bit-stable across differently-shaped XLA programs, so a bf16
-    trunk desyncs the rANS stream."""
+def test_fused_bf16_precision_policy(image):
+    """compute_dtype='bfloat16' must be backbone-only. Guards the r3
+    hardware finding (runs/tpu-validate-r3.json): reduced precision
+    anywhere decode recomputes desyncs the rANS stream; only the encoder
+    backbone (which merely picks which symbols are WRITTEN) may run bf16.
+    Behavioral check: decoding the SAME f32-encoded stream through a
+    bf16-configured codec must give a bitwise-identical image — on CPU,
+    any bf16 op on the decode path would visibly change the floats."""
     import jax
     import jax.numpy as jnp
     import numpy as np
     import lvae_tpu
 
     m = lvae_tpu.get_model('qarv_tiny')
+    m.compress_mode(coder='fused')            # f32 codec
+    obj = m.compress(image, lmb=512)
+    rec_f32 = m.decompress(obj)
     m.compress_mode(coder='fused', compute_dtype='bfloat16')
-    codec = m._fused
-    H = W = 64
-    dec = codec._build_decode(H // m.net.max_stride, W // m.net.max_stride)
-    N = codec.N
-    args = (m.params, jnp.zeros((1, N), jnp.int32),
-            jnp.zeros((1024,), jnp.int32), jnp.zeros((8,), jnp.int32),
-            jnp.zeros((8,), jnp.int32), jnp.asarray([512.0], jnp.float32))
-    dec_hlo = jax.jit(dec).lower(*args).as_text()
-    assert 'bf16' not in dec_hlo, \
-        'decode program must stay f32 (precision policy, qarv/fused.py)'
+    rec_bf16 = m.decompress(obj)
+    assert (rec_f32 == rec_bf16).all(), \
+        'decode path must be compute_dtype-independent (backbone-only bf16)'
 
-    enc = codec._build_encode(H, W)
-    im = jnp.zeros((1, H, W, 3), jnp.float32)
-    enc_hlo = jax.jit(enc).lower(m.params, im,
-                                 jnp.float32([512.0])).as_text()
-    assert 'bf16' in enc_hlo, 'encode backbone should run bf16'
+    # and the backbone genuinely runs bf16 in the unified program
+    codec = m._fused
+    H, W = image.shape[1], image.shape[2]
+    d = codec._dummies(H, W)
+    hlo = codec._codec(H, W).lower(
+        m.params, jnp.asarray(image), d['enc'], d['off'], d['states'],
+        d['packed'], d['esc_pos'], d['esc_val'],
+        jnp.full((1,), 512.0, jnp.float32)).as_text()
+    assert 'bf16' in hlo, 'encode backbone should run bf16'
 
 
 def test_fused_decode_single_canonical_executable(image):
@@ -471,8 +472,8 @@ def test_fused_decode_single_canonical_executable(image):
         assert np.isfinite(r).all()
 
     codec = m._fused
-    assert len(codec._dec_cache) == 1, \
-        'decode must compile exactly once per image shape'
+    assert len(codec._codec_cache) == 1, \
+        'the codec must compile exactly once per image shape'
     assert len(codec._dec_wrap) >= 1
     # every prep program is pure integer memory movement: no float ops
     N = codec.N
