@@ -50,7 +50,8 @@ def main():
     _, imH, imW, _ = im.shape
     lmb_arr = jnp.full((1,), float(args.lmb), jnp.float32)
 
-    # ---- instrumented clone of FusedQarvCodec._build_encode (f32 path) ----
+    # ---- instrumented clone of the fused encode path (f32; the production
+    # codec is now ONE unified program, see qarv/fused.py) -----------------
     def dbg_prog(params, im, lmb):
         from lvae_tpu.models.fused_base import _ob
         emb = _ob(codec._emb_stage(params, lmb))
