@@ -201,8 +201,14 @@ def main():
         _, img = codec_fn(params, dm['im'], dm['dec'], dm['on'],
                           s, p, e, v, lmb)
         return img
+    # pad the parsed (bucket-sized) arrays to the canonical static shapes
+    PK, EB = fused._canon_sizes(nH, nW)
+    import numpy as _np
+    pk_c = _np.zeros(PK, _np.int32); pk_c[:packed.size] = packed
+    ep_c = _np.full(EB, -1, _np.int32); ep_c[:esc_pos.size] = esc_pos
+    ev_c = _np.zeros(EB, _np.int32); ev_c[:esc_val.size] = esc_val
     print(f'K5 production fused decode     : '
-          f'{bench(dec_fn, model.params, sj, pj, ej, vj, lmb_arr):7.1f} ms',
+          f'{bench(dec_fn, model.params, sj, jnp.asarray(pk_c), jnp.asarray(ep_c), jnp.asarray(ev_c), lmb_arr):7.1f} ms',
           flush=True)
 
 

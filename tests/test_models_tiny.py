@@ -449,6 +449,33 @@ def test_fused_bf16_precision_policy(image):
     assert 'bf16' in hlo, 'encode backbone should run bf16'
 
 
+def test_fused_unified_executable_properties(image):
+    """The codec is ONE executable per image shape (qarv/fused.py):
+    encode_check must emit the byte-identical stream to encode (same
+    binary, want_image is a runtime flag), and a fresh codec instance that
+    DECODES first (never encoded) must reproduce the same image."""
+    import jax.numpy as jnp
+    import lvae_tpu
+
+    m1 = lvae_tpu.get_model('qarv_tiny')
+    m1.compress_mode(coder='fused')
+    obj = m1.compress(image, lmb=512)
+    rec1 = m1.decompress(obj)
+
+    lmb_arr = jnp.full((1,), 512.0, jnp.float32)
+    body_chk, _ = m1._fused.encode_check(m1.params, jnp.asarray(image),
+                                         lmb_arr)
+    body = m1._fused.encode(m1.params, jnp.asarray(image), lmb_arr)
+    assert body_chk == body, \
+        'encode_check must run the same executable as encode'
+
+    m2 = lvae_tpu.get_model('qarv_tiny')
+    m2.params = m1.params
+    m2.compress_mode(coder='fused')
+    rec2 = m2.decompress(obj)   # decode-first: codec built via decode path
+    assert (rec1 == rec2).all()
+
+
 def test_fused_decode_single_canonical_executable(image):
     """Streams of different sizes must all run through ONE decode executable
     per image shape, fed by integer-only prep programs. Guards the r3
