@@ -3,4 +3,6 @@ from lvae_tpu.parallel.mesh import (
     replicated_sharding, process_count, process_index, local_batch_slice,
     fast_device_get,
 )
+from lvae_tpu.parallel.spatial import get_2d_mesh, image_sharding, \
+    spatial_eval
 from lvae_tpu.parallel import dist_utils
