@@ -21,6 +21,29 @@ def gelu(x):
     return jax.nn.gelu(x, approximate=False)
 
 
+def apply_block(block, *args, remat: bool = False, method=None):
+    """Apply one NN block, optionally under gradient rematerialization.
+
+    remat=True lifts the single block application through
+    ``flax.linen.remat`` (jax.checkpoint): the backward pass recomputes this
+    block's activations instead of keeping them resident in HBM for the
+    whole forward. Applied per block — the same granularity the reference
+    would get from torch.utils.checkpoint around each module — peak
+    activation memory drops from O(depth) to O(1) blocks while the extra
+    FLOPs stay one forward pass. On TPU this is the standard lever for
+    fitting larger per-chip batches (HBM, not MXU, is the usual ceiling).
+
+    ``method``: optional ``fn(module, *args)`` to call instead of
+    ``module.__call__`` (used for latent blocks' forward_train, closing
+    over static Python bools). Non-Module blocks (plain callables) cannot
+    be lifted and are invoked directly.
+    """
+    fn = method if method is not None else (lambda m, *a: m(*a))
+    if remat and isinstance(block, nn.Module):
+        return nn.remat(fn)(block, *args)
+    return fn(block, *args)
+
+
 # ---------------------------------------------------------------------------
 # Conv factories (reference: common.py:8-45)
 # ---------------------------------------------------------------------------

@@ -265,43 +265,49 @@ class VariableRateLossyVAENet(nn.Module):
 
     # --- encoder backbone -------------------------------------------------------
 
-    def encode(self, x, emb):
+    def encode(self, x, emb, remat: bool = False):
         """Run encoder blocks; capture features at SetKey markers
-        (reference: common.py:84-98)."""
+        (reference: common.py:84-98). remat=True wraps each block in a
+        lifted jax.checkpoint (gradient rematerialization): activations are
+        recomputed block-by-block in the backward pass instead of stored,
+        trading ~1 extra forward of FLOPs for O(1)-block activation memory
+        — the TPU-native lever for larger per-chip batch sizes."""
         features = {}
         for block in self.enc_blocks:
             if isinstance(block, common.SetKey):
                 features[block.key] = x
             elif getattr(block, 'requires_embedding', False):
-                x = block(x, emb)
+                x = common.apply_block(block, x, emb, remat=remat)
             else:
-                x = block(x)
+                x = common.apply_block(block, x, remat=remat)
         return x, features
 
     # --- full forward (trainval) -----------------------------------------------
 
     def forward_end2end(self, im, lmb, training: bool = False,
-                        get_latent: bool = False):
+                        get_latent: bool = False, remat: bool = False):
         x = self.preprocess_input(im)
         # keep the conditioning embedding in the compute dtype, otherwise
         # every AdaLN block silently re-promotes activations to f32
         emb = self.get_lmb_embedding(lmb).astype(x.dtype)
-        _, enc_features = self.encode(x, emb)
+        _, enc_features = self.encode(x, emb, remat=remat)
         nB, xH, xW, _ = x.shape
         feature = self.seed_feature(nB, xH // self.max_stride, xW // self.max_stride)
         block_stats = []
         for block in self.dec_blocks:
             if getattr(block, 'is_latent_block', False):
                 f_enc = enc_features[block.enc_key]
-                feature, stats = block.forward_train(feature, f_enc, emb,
-                                                     training, get_latent)
+                feature, stats = common.apply_block(
+                    block, feature, f_enc, emb, remat=remat,
+                    method=lambda m, f, fe, e: m.forward_train(
+                        f, fe, e, training, get_latent))
                 block_stats.append(stats)
             elif getattr(block, 'requires_embedding', False):
-                feature = block(feature, emb)
+                feature = common.apply_block(block, feature, emb, remat=remat)
             elif isinstance(block, common.CompressionStopFlag):
                 continue
             else:
-                feature = block(feature)
+                feature = common.apply_block(block, feature, remat=remat)
         return feature, block_stats
 
     def forward_sampling(self, lmb, latents, bhw_repeat, t=1.0):
@@ -393,7 +399,7 @@ class QarvModel(VAEModelBase):
         return jnp.power(u, p)
 
     def loss_and_stats(self, params, im, rng, lmb=None, training=True,
-                       compute_dtype=None):
+                       compute_dtype=None, remat=False):
         """Pure loss function (jit/pjit-able). Samples per-image lambda when
         not provided (reference: qarv/model.py:317-363).
 
@@ -401,7 +407,10 @@ class QarvModel(VAEModelBase):
         mixed-precision analog of the reference's AMP, trainer.py:361; no
         loss scaling needed on TPU). Master params stay float32 in the
         optimizer; the probability-mass rate term is float32-forced inside
-        entropy_coding regardless."""
+        entropy_coding regardless. remat=True checkpoints every block
+        (see VariableRateLossyVAENet.encode): ~1 extra forward of FLOPs for
+        a ~depth-fold cut in activation HBM, enabling batch sizes that
+        otherwise OOM a single chip."""
         nB, H, W, C = im.shape
         rng_lmb, rng_noise = jax.random.split(rng)
         if lmb is None:
@@ -413,7 +422,7 @@ class QarvModel(VAEModelBase):
                 lambda x: x.astype(cd) if x.dtype == jnp.float32 else x, params)
             net_im = im.astype(cd)
         x_hat, stats_all = self.net.apply(
-            {'params': net_params}, net_im, lmb, training, False,
+            {'params': net_params}, net_im, lmb, training, False, remat,
             method=self.net.forward_end2end, rngs={'noise': rng_noise})
         x_hat = x_hat.astype(jnp.float32)
         ndims = float(C * H * W)

@@ -105,11 +105,11 @@ class BottomUpEncoder(nn.Module):
     blocks: Tuple[nn.Module, ...]
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, remat: bool = False):
         feature = x
         enc_features = {}
         for block in self.blocks:
-            feature = block(feature)
+            feature = common.apply_block(block, feature, remat=remat)
             enc_features[int(feature.shape[1])] = feature
         return enc_features
 
@@ -266,17 +266,20 @@ class HierarchicalVAENet(nn.Module):
     def preprocess_target(self, im):
         return (im - 0.5) * 2.0
 
-    def encode(self, x):
-        return self.encoder(x)
+    def encode(self, x, remat: bool = False):
+        return self.encoder(x, remat)
 
     def seed_feature(self, batch, h, w):
         return jnp.broadcast_to(self.bias, (batch, h, w, self.bias.shape[-1]))
 
-    def forward(self, im, training: bool = False, get_latents: bool = False):
-        """Trainval forward: returns (out_loss, x_hat, kl list[, z list])."""
+    def forward(self, im, training: bool = False, get_latents: bool = False,
+                remat: bool = False):
+        """Trainval forward: returns (out_loss, x_hat, kl list[, z list]).
+        remat=True checkpoints each block (common.apply_block) so the
+        backward pass recomputes activations instead of storing them."""
         x = self.preprocess_input(im)
         x_target = self.preprocess_target(im)
-        enc_features = self.encode(x)
+        enc_features = self.encode(x, remat=remat)
         min_res = min(enc_features.keys())
         f0 = enc_features[min_res]
         feature = self.seed_feature(f0.shape[0], f0.shape[1], f0.shape[2])
@@ -284,11 +287,13 @@ class HierarchicalVAENet(nn.Module):
         for block in self.dec_blocks:
             if getattr(block, 'is_latent_block', False):
                 res = int(feature.shape[1])
-                feature, stats = block.forward_train(
-                    feature, enc_features[res], training, get_latents)
+                feature, stats = common.apply_block(
+                    block, feature, enc_features[res], remat=remat,
+                    method=lambda m, f, fe: m.forward_train(
+                        f, fe, training, get_latents))
                 stats_all.append(stats)
             else:
-                feature = block(feature)
+                feature = common.apply_block(block, feature, remat=remat)
         out_loss, x_hat = self.out_net.forward_loss(feature, x_target)
         return out_loss, x_hat, stats_all
 
@@ -382,10 +387,11 @@ class QresModel(VAEModelBase):
 
     # ------------------------------------------------------------------ train
     def loss_and_stats(self, params, im, rng, training=True,
-                       compute_dtype=None):
+                       compute_dtype=None, remat=False):
         """Pure loss function (used by the trainer; jit/pjit-able).
         compute_dtype='bfloat16' runs the conv stacks in bf16 (TPU mixed
-        precision); master params stay f32, rate term stays f32."""
+        precision); master params stay f32, rate term stays f32. remat=True
+        checkpoints per block (see HierarchicalVAENet.forward)."""
         net_params, net_im = params, im
         if compute_dtype is not None:
             cd = jnp.dtype(compute_dtype)
@@ -393,7 +399,7 @@ class QresModel(VAEModelBase):
                 lambda x: x.astype(cd) if x.dtype == jnp.float32 else x, params)
             net_im = im.astype(cd)
         out_loss, x_hat, stats_all = self.net.apply(
-            {'params': net_params}, net_im, training, False,
+            {'params': net_params}, net_im, training, False, remat,
             method=self.net.forward, rngs={'noise': rng})
         x_hat = x_hat.astype(jnp.float32)
         out_loss = out_loss.astype(jnp.float32)

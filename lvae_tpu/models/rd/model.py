@@ -184,13 +184,13 @@ class RDVAENet(nn.Module):
                                           max_period=self.sin_period)
         return self.lmb_embed_1(gelu(self.lmb_embed_0(emb)))
 
-    def encode(self, x, emb):
+    def encode(self, x, emb, remat: bool = False):
         features = {}
         for block in self.enc_blocks:
             if getattr(block, 'requires_embedding', False):
-                x = block(x, emb)
+                x = common.apply_block(block, x, emb, remat=remat)
             else:
-                x = block(x)
+                x = common.apply_block(block, x, remat=remat)
             features[int(x.shape[1])] = x
         return features
 
@@ -198,10 +198,10 @@ class RDVAENet(nn.Module):
         return jnp.broadcast_to(self.bias, (batch, h, w, self.bias.shape[-1]))
 
     def forward_end2end(self, im, lmb, training: bool = True,
-                        get_latents: bool = False):
+                        get_latents: bool = False, remat: bool = False):
         x = (im + self.im_shift) * self.im_scale
         emb = self.get_lmb_embedding(lmb).astype(x.dtype)
-        enc_features = self.encode(x, emb)
+        enc_features = self.encode(x, emb, remat=remat)
         min_res = min(enc_features.keys())
         f0 = enc_features[min_res]
         feature = self.seed_feature(f0.shape[0], f0.shape[1], f0.shape[2])
@@ -209,13 +209,15 @@ class RDVAENet(nn.Module):
         for block in self.dec_blocks:
             if getattr(block, 'is_latent_block', False):
                 key = int(feature.shape[1])
-                feature, stats = block.forward_train(feature, enc_features[key],
-                                                     emb, training, get_latents)
+                feature, stats = common.apply_block(
+                    block, feature, enc_features[key], emb, remat=remat,
+                    method=lambda m, f, fe, e: m.forward_train(
+                        f, fe, e, training, get_latents))
                 stats_all.append(stats)
             elif getattr(block, 'requires_embedding', False):
-                feature = block(feature, emb)
+                feature = common.apply_block(block, feature, emb, remat=remat)
             else:
-                feature = block(feature)
+                feature = common.apply_block(block, feature, remat=remat)
         return feature, stats_all
 
     def forward_sampling(self, lmb, latents, bhw_repeat, t=1.0):
@@ -264,7 +266,7 @@ class RDModel(VAEModelBase):
         return jnp.exp(jax.random.uniform(rng, (n,), minval=lo, maxval=hi))
 
     def loss_and_stats(self, params, im, rng, lmb=None, training=True,
-                       compute_dtype=None):
+                       compute_dtype=None, remat=False):
         nB, H, W, C = im.shape
         rng_lmb, rng_noise = jax.random.split(rng)
         if lmb is None:
@@ -276,7 +278,7 @@ class RDModel(VAEModelBase):
                 lambda x: x.astype(cd) if x.dtype == jnp.float32 else x, params)
             net_im = im.astype(cd)
         x_hat, stats_all = self.net.apply(
-            {'params': net_params}, net_im, lmb, training, False,
+            {'params': net_params}, net_im, lmb, training, False, remat,
             method=self.net.forward_end2end, rngs={'noise': rng_noise})
         x_hat = x_hat.astype(jnp.float32)
         ndims = float(C * H * W)

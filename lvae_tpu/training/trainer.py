@@ -189,12 +189,17 @@ class BaseTrainingWrapper:
         # cfg.amp enables bf16 compute (TPU mixed precision; master params
         # and the probability-mass rate term stay float32)
         compute_dtype = 'bfloat16' if getattr(cfg, 'amp', False) else None
+        # cfg.remat checkpoints every block: backward-pass recompute instead
+        # of resident activations — lifts the per-chip batch ceiling (e.g.
+        # qarv_base 256x256 OOMs a v5e at batch 32 without it)
+        remat = bool(getattr(cfg, 'remat', False))
 
         def loss_fn(params, batch, rng):
             if batch.dtype == jnp.uint8:   # device-side normalization
                 batch = batch.astype(jnp.float32) / 255.0
             return self.model.loss_and_stats(params, batch, rng, training=True,
-                                             compute_dtype=compute_dtype)
+                                             compute_dtype=compute_dtype,
+                                             remat=remat)
 
         step_fn = make_train_step(loss_fn, tx, accum_num=cfg.accum_num,
                                   grad_clip=cfg.grad_clip, wdecay=cfg.wdecay,

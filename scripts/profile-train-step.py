@@ -32,6 +32,9 @@ def main():
     ap.add_argument('--batch', type=int, default=16)
     ap.add_argument('--crop', type=int, default=256)
     ap.add_argument('--amp', action='store_true')
+    ap.add_argument('--remat', action='store_true',
+                    help='per-block gradient rematerialization (--remat '
+                         'trainer flag): fits batch 32 on one v5e')
     ap.add_argument('--logdir', default='/tmp/traintrace')
     args = ap.parse_args()
 
@@ -52,7 +55,7 @@ def main():
 
     def loss_fn(params, batch, rng):
         return model.loss_and_stats(params, batch, rng, training=True,
-                                    compute_dtype=cd)
+                                    compute_dtype=cd, remat=args.remat)
 
     step_fn = make_train_step(loss_fn, tx, accum_num=1, grad_clip=2.0,
                               use_ema=True)

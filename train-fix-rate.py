@@ -58,6 +58,7 @@ _SCHEMA = {
     'runtime': [
         ('fixseed', 'bool', True),
         ('amp', 'bool', False),   # bf16 compute (TPU analog of torch AMP)
+        ('remat', 'bool', False),  # per-block gradient rematerialization
         ('workers', int, 6),
         ('data_cache', 'bool', False),  # pre-decode trainset to a raw uint8 blob
         ('probe_device_step', 'bool', False),

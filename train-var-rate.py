@@ -57,6 +57,8 @@ def parse_args():
     parser.add_argument('--fixseed',    action=argparse.BooleanOptionalAction, default=True)
     # bf16 mixed-precision compute (TPU analog of the reference's --amp)
     parser.add_argument('--amp',        action=argparse.BooleanOptionalAction, default=False)
+    # per-block gradient rematerialization (larger per-chip batches)
+    parser.add_argument('--remat',      action=argparse.BooleanOptionalAction, default=False)
     parser.add_argument('--workers',    type=int, default=6)
     parser.add_argument('--data_cache', action=argparse.BooleanOptionalAction, default=False)
     parser.add_argument('--probe_device_step', action=argparse.BooleanOptionalAction, default=False)
