@@ -36,100 +36,122 @@ def _srl(x, n):
     return jax.lax.shift_right_logical(x, jnp.int32(n))
 
 
+_KROWS = 8  # rows per loop iteration (8*N consumed words fit one window)
+
+
 def _decode_kernel(nsym_ref, ptr_in_ref,          # scalar prefetch (SMEM)
                    idx_ref, stream_lo_ref, stream_hi_ref,
                    cdf_lo_ref, cdf_hi_ref, off_ref, states_in_ref,
                    syms_ref, states_out_ref, ptr_out_ref,
                    *, N, S, L):
+    # Round-3 layout rework (mirrors rans_encode.py): the whole per-row
+    # chain runs in LANE orientation — states/slots/symbols as (1,N), the
+    # gathered CDF rows as (L,N) — so elementwise ops touch ~L/8 tiles
+    # instead of 16 per op under TPU's (8,128) tiling. Rows are processed
+    # K=8 per loop iteration with the 2048-word stream window hoisted into
+    # registers once per batch (a batch consumes at most 8*N <= 1024 words
+    # from local_start < 1024, so every read stays inside the window).
     T = idx_ref.shape[0]
     nsym = nsym_ref[0]
 
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)       # (1,N)
-    lane_col = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)        # (N,1)
-    lcol = jax.lax.broadcasted_iota(jnp.int32, (N, L), 1)            # (N,L)
-    scol = jax.lax.broadcasted_iota(jnp.int32, (N, S), 1)            # (N,S)
+    lrow = jax.lax.broadcasted_iota(jnp.int32, (L, N), 0)            # (L,N)
+    srow = jax.lax.broadcasted_iota(jnp.int32, (S, N), 0)            # (S,N)
     ccol16 = jax.lax.broadcasted_iota(jnp.int32, (N, 16), 1)         # (N,16)
     wcol = jax.lax.broadcasted_iota(jnp.int32, (N, 128), 1)          # (N,128)
-    # lower-triangular ones (j <= l): inclusive prefix sum via MXU
-    tri = (jax.lax.broadcasted_iota(jnp.int32, (N, N), 0) >=
-           jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)).astype(jnp.float32)
-    cdf_lo = cdf_lo_ref[:].astype(jnp.float32)                        # (S,L)
-    cdf_hi = cdf_hi_ref[:].astype(jnp.float32)
-    off_f32 = off_ref[:].astype(jnp.float32).reshape(S, 1)            # (S,1)
+    # strict lower-triangular (j < l): exclusive prefix sum over lanes
+    # (lane order = word order): rank_l = sum_{j<l} flags_j = flags @ M
+    tri_exc = (jax.lax.broadcasted_iota(jnp.int32, (N, N), 0) <
+               jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)).astype(jnp.float32)
+    cdf_lo_t = cdf_lo_ref[:].astype(jnp.float32)                      # (L,S)
+    cdf_hi_t = cdf_hi_ref[:].astype(jnp.float32)
+    off_f32 = off_ref[:].astype(jnp.float32).reshape(1, S)            # (1,S)
 
-    def body(t, carry):
+    TB = (T + _KROWS - 1) // _KROWS
+
+    def body(i, carry):
         states, ptr = carry                                           # (1,N) i32
-        active_row = (t * N + lane_iota) < nsym                       # (1,N)
-        active_col = (t * N + lane_col) < nsym                        # (N,1)
-        idx = idx_ref[t, :].reshape(1, N)                              # (1,N)
+        base = pl.multiple_of((ptr // 1024) * 1024, 1024)
+        local0 = ptr - base
+        win_lo = stream_lo_ref[pl.ds(base, 2048)].reshape(16, 128)
+        win_hi = stream_hi_ref[pl.ds(base, 2048)].reshape(16, 128)
+        win_lo_f = win_lo.astype(jnp.float32)
+        win_hi_f = win_hi.astype(jnp.float32)
+        local = local0
 
-        # CDF row gather (byte-split, exact)
-        onehot_s = (idx.reshape(N, 1) == scol).astype(jnp.float32)     # (N,S)
-        rows_lo = jnp.dot(onehot_s, cdf_lo,
-                          preferred_element_type=jnp.float32)          # (N,L)
-        rows_hi = jnp.dot(onehot_s, cdf_hi,
-                          preferred_element_type=jnp.float32)
-        rows = rows_hi.astype(jnp.int32) * 256 + rows_lo.astype(jnp.int32)
-        offs = jnp.dot(onehot_s, off_f32,
-                       preferred_element_type=jnp.float32).astype(jnp.int32)
+        for k in range(_KROWS):                           # unrolled sub-rows
+            t = i * _KROWS + k
+            tt = jnp.minimum(t, T - 1)
+            valid_t = t < T
+            active = jnp.logical_and((t * N + lane_iota) < nsym, valid_t)
+            idx = idx_ref[tt, :].reshape(1, N)                         # (1,N)
 
-        slot = (states & MASK16).reshape(N, 1)                         # (N,1)
-        # symbol = (#cdf entries <= slot) - 1   (int compare on VPU)
-        s = jnp.sum((rows <= slot).astype(jnp.int32), axis=1,
-                    keepdims=True) - 1                                 # (N,1)
-        start = jnp.sum(jnp.where(lcol == s, rows, 0), axis=1,
-                        keepdims=True)                                 # (N,1)
-        cdf_next = jnp.sum(jnp.where(lcol == (s + 1), rows, 0), axis=1,
-                           keepdims=True)
-        freq_i = cdf_next - start
+            # CDF column gather in (L,N) orientation (byte-split, exact)
+            onehot_s = (srow == idx).astype(jnp.float32)               # (S,N)
+            rows_lo = jnp.dot(cdf_lo_t, onehot_s,
+                              preferred_element_type=jnp.float32)      # (L,N)
+            rows_hi = jnp.dot(cdf_hi_t, onehot_s,
+                              preferred_element_type=jnp.float32)
+            rows = rows_hi.astype(jnp.int32) * 256 + rows_lo.astype(jnp.int32)
+            offs = jnp.dot(off_f32, onehot_s,
+                           preferred_element_type=jnp.float32).astype(jnp.int32)
 
-        st = states.reshape(N, 1)
-        new_st = freq_i * _srl(st, 16) + slot - start                  # (N,1)
-        flags = jnp.logical_and(_srl(new_st, 16) == 0, active_col)
-        flags_f = flags.astype(jnp.float32)
-        nread = jnp.sum(flags.astype(jnp.int32))
+            slot = states & MASK16                                     # (1,N)
+            # symbol = (#cdf entries <= slot) - 1   (int compare on VPU)
+            s = jnp.sum((rows <= slot).astype(jnp.int32), axis=0,
+                        keepdims=True) - 1                             # (1,N)
+            start = jnp.sum(jnp.where(lrow == s, rows, 0), axis=0,
+                            keepdims=True)                             # (1,N)
+            cdf_next = jnp.sum(jnp.where(lrow == (s + 1), rows, 0), axis=0,
+                               keepdims=True)
+            freq_i = cdf_next - start
 
-        def read_words(_):
-            # inclusive prefix sum over lanes (lane order = word order)
-            cum = jnp.dot(tri, flags_f, preferred_element_type=jnp.float32)
-            pos_rel = (cum - flags_f).astype(jnp.int32)                # excl.
-            # aligned 2048-word window covering [ptr, ptr+N); 2-stage gather
-            base = pl.multiple_of((ptr // 1024) * 1024, 1024)
-            win_lo = stream_lo_ref[pl.ds(base, 2048)].reshape(16, 128)
-            win_hi = stream_hi_ref[pl.ds(base, 2048)].reshape(16, 128)
-            target = (ptr - base) + pos_rel                            # (N,1)
-            chunk_id = target // 128
-            within = target - chunk_id * 128
-            sel_c = (chunk_id == ccol16).astype(jnp.float32)           # (N,16)
-            rows_wlo = jnp.dot(sel_c, win_lo.astype(jnp.float32),
-                               preferred_element_type=jnp.float32)     # (N,128)
-            rows_whi = jnp.dot(sel_c, win_hi.astype(jnp.float32),
-                               preferred_element_type=jnp.float32)
-            in_sel = (within == wcol)
-            word_lo = jnp.sum(jnp.where(in_sel, rows_wlo.astype(jnp.int32), 0),
-                              axis=1, keepdims=True)
-            word_hi = jnp.sum(jnp.where(in_sel, rows_whi.astype(jnp.int32), 0),
-                              axis=1, keepdims=True)
-            return word_hi * 256 + word_lo                             # (N,1)
+            new_st = freq_i * _srl(states, 16) + slot - start          # (1,N)
+            flags = jnp.logical_and(_srl(new_st, 16) == 0, active)
+            flags_f = flags.astype(jnp.float32)
+            nread = jnp.sum(flags.astype(jnp.int32))
 
-        # at realistic bitrates many rows consume no words: skip the window
-        # gather entirely on those rows
-        words = jax.lax.cond(nread > 0, read_words,
-                             lambda _: jnp.zeros((N, 1), jnp.int32), None)
+            def read_words(_):
+                rank = jnp.dot(flags_f, tri_exc,
+                               preferred_element_type=jnp.float32)     # (1,N)
+                target = (local + rank.astype(jnp.int32)).reshape(N, 1)
+                chunk_id = target // 128
+                within = target - chunk_id * 128
+                sel_c = (chunk_id == ccol16).astype(jnp.float32)       # (N,16)
+                rows_wlo = jnp.dot(sel_c, win_lo_f,
+                                   preferred_element_type=jnp.float32)  # (N,128)
+                rows_whi = jnp.dot(sel_c, win_hi_f,
+                                   preferred_element_type=jnp.float32)
+                in_sel = (within == wcol)
+                word_lo = jnp.sum(
+                    jnp.where(in_sel, rows_wlo.astype(jnp.int32), 0), axis=1)
+                word_hi = jnp.sum(
+                    jnp.where(in_sel, rows_whi.astype(jnp.int32), 0), axis=1)
+                return (word_hi * 256 + word_lo).reshape(1, N)
 
-        fed = (new_st << 16) | (words & MASK16)
-        new_st = jnp.where(flags, fed, new_st)
-        new_states = jnp.where(active_col, new_st, st)
+            # at realistic bitrates many rows consume no words: skip the
+            # window gather entirely on those rows
+            words = jax.lax.cond(nread > 0, read_words,
+                                 lambda _: jnp.zeros((1, N), jnp.int32), None)
 
-        # value = symbol + offset (escape positions patched later on device)
-        vals = (s + offs).reshape(1, N)
-        syms_ref[t, :] = jnp.where(active_row, vals, 0).reshape(N)
+            fed = (new_st << 16) | (words & MASK16)
+            new_st = jnp.where(flags, fed, new_st)
+            states = jnp.where(active, new_st, states)
 
-        return new_states.reshape(1, N), ptr + nread
+            # value = symbol + offset (escape positions patched later on
+            # device); masked sub-rows (t >= T) skip the write entirely
+            @pl.when(valid_t)
+            def write_row():
+                vals = s + offs                                        # (1,N)
+                syms_ref[tt, :] = jnp.where(active, vals, 0).reshape(N)
+
+            local = local + nread
+
+        return states, base + local
 
     states0 = states_in_ref[:].reshape(1, N)
     ptr0 = ptr_in_ref[0]
-    states, ptr = jax.lax.fori_loop(0, T, body, (states0, ptr0))
+    states, ptr = jax.lax.fori_loop(0, TB, body, (states0, ptr0))
     states_out_ref[:] = states.reshape(states_out_ref.shape)
     ptr_out_ref[0] = ptr
 
@@ -153,9 +175,11 @@ def rans_decode_block(indexes, states, ptr, stream, cdfs, offsets,
     T, N = indexes.shape
     S, L = cdfs.shape
     assert N == num_lanes
-    # byte-split tables/stream so every MXU gather is exact
-    cdf_lo = cdfs & 255
-    cdf_hi = _srl(cdfs, 8)
+    # byte-split tables/stream so every MXU gather is exact; tables are
+    # passed TRANSPOSED (L,S) — the kernel gathers CDF columns in (L,N)
+    # lane orientation (see kernel docstring)
+    cdf_lo = (cdfs & 255).T
+    cdf_hi = _srl(cdfs, 8).T
     # pad the stream so every aligned 2048-word window read is in bounds
     W = stream.shape[0]
     W_pad = ((W + 2048 + 1023) // 1024) * 1024

@@ -65,6 +65,9 @@ def _exact_divmod_u32(st, freq):
     return q, acc
 
 
+_KROWS = 8  # rows per loop iteration (8*128 emitted words fit one window)
+
+
 def _encode_kernel(end_in_ref, row_n_ref,                # scalar prefetch (SMEM)
                    states_in_ref, start_ref, freq_ref,
                    words_ref, states_out_ref, end_out_ref,
@@ -74,56 +77,79 @@ def _encode_kernel(end_in_ref, row_n_ref,                # scalar prefetch (SMEM
     # both known before encoding). Round-1 re-gathered them per row with
     # (N,S)@(S,L) one-hot matmuls inside this sequential loop, which
     # dominated the kernel's runtime.
-    lane_col = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)         # (N,1)
-    ccol16 = jax.lax.broadcasted_iota(jnp.int32, (N, 16), 1)          # (N,16)
+    #
+    # Round-3 rework, two layout facts about TPU (8,128) tiling:
+    #   * the per-lane state chain (divmod is ~45 vector ops/row) runs in
+    #     (1,N) orientation — one tile per op. The previous (N,1) layout
+    #     used 1 of 128 lanes across 16 sublane-tiles (16x the work) and
+    #     dominated the kernel's runtime.
+    #   * rows are processed K=8 per loop iteration: the scatter windows of
+    #     the 8 sub-rows are accumulated in f32 registers (positions are
+    #     unique across the batch, each window cell receives <= one byte
+    #     value, so f32 adds are exact) and flushed with ONE 2048-word
+    #     read-modify-write. local_start < 1024 and the batch emits at most
+    #     8*128 = 1024 words, so every target stays inside the window.
+    lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)         # (1,N)
+    crow16 = jax.lax.broadcasted_iota(jnp.int32, (16, N), 0)          # (16,N)
     wcol = jax.lax.broadcasted_iota(jnp.int32, (N, 128), 1)           # (N,128)
-    # strict upper-triangular (j > l): rank among flagged lanes DESCENDING
-    # (= scalar push order within a reversed row)
-    tri_desc = (jax.lax.broadcasted_iota(jnp.int32, (N, N), 0) <
+    # rank among flagged lanes, lane-DESCENDING (= scalar push order within
+    # a reversed row): rank_l = sum_{j>l} flags_j = (flags @ M), M[j,l]=[j>l]
+    tri_desc = (jax.lax.broadcasted_iota(jnp.int32, (N, N), 0) >
                 jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)).astype(jnp.float32)
 
+    TB = (T + _KROWS - 1) // _KROWS
+
     def body(i, carry):
-        states, ptr = carry                                            # (N,1)
-        t = T - 1 - i                                                  # reverse
-        active = lane_col < row_n_ref[t]                               # (N,1)
-        start = start_ref[t, :].reshape(N, 1)
-        freq = freq_ref[t, :].reshape(N, 1)
-        freq = jnp.where(active, freq, 1)  # keep inactive lanes benign
+        states, ptr = carry                                            # (1,N)
+        base = pl.multiple_of((ptr // 1024) * 1024, 1024)
+        local = ptr - base
+        add_lo = jnp.zeros((16, 128), jnp.float32)
+        add_hi = jnp.zeros((16, 128), jnp.float32)
+        c_total = jnp.int32(0)
 
-        st = states
-        flags = jnp.logical_and(_srl(st, 16) >= freq, active)
-        flags_f = flags.astype(jnp.float32)
-        c = jnp.sum(flags.astype(jnp.int32))
+        for k in range(_KROWS):                           # unrolled sub-rows
+            t = T - 1 - (i * _KROWS + k)                               # reverse
+            tt = jnp.maximum(t, 0)
+            active = jnp.logical_and(lane_row < row_n_ref[tt], t >= 0)  # (1,N)
+            start = start_ref[tt, :].reshape(1, N)
+            freq = freq_ref[tt, :].reshape(1, N)
+            freq = jnp.where(active, freq, 1)  # keep inactive lanes benign
 
-        @pl.when(c > 0)   # rows with no renorm skip the window RMW entirely
-        def write_words():
-            # rank among flagged lanes, descending lane order (push order)
-            rank = jnp.dot(tri_desc, flags_f,
+            st = states
+            flags = jnp.logical_and(_srl(st, 16) >= freq, active)
+            flags_f = flags.astype(jnp.float32)
+            c = jnp.sum(flags.astype(jnp.int32))
+
+            rank = jnp.dot(flags_f, tri_desc,
                            preferred_element_type=jnp.float32).astype(jnp.int32)
-            base = pl.multiple_of((ptr // 1024) * 1024, 1024)
-            target = (ptr - base) + rank                               # (N,1)
-            word = st & MASK16                                         # (N,1)
-            # float-arithmetic masking (bool where on wide tiles trips
-            # Mosaic i1)
-            sel_c_f = (target // 128 == ccol16).astype(jnp.float32) * flags_f
-            in_sel = (target - (target // 128) * 128 == wcol)          # (N,128)
-            w_lo = jnp.where(flags, (word & 255), 0).astype(jnp.float32)
-            w_hi = jnp.where(flags, _srl(word, 8), 0).astype(jnp.float32)
-            in_f = in_sel.astype(jnp.float32)
-            add_lo = jnp.dot(sel_c_f.T, in_f * w_lo,
-                             preferred_element_type=jnp.float32)       # (16,128)
-            add_hi = jnp.dot(sel_c_f.T, in_f * w_hi,
-                             preferred_element_type=jnp.float32)
+            target = local + rank                                      # (1,N)
+            word = jnp.where(flags, st & MASK16, 0)                    # (1,N)
+            # chunk selector (16,N): word's 128-word chunk within the window
+            sel_c_f = (target // 128 == crow16).astype(jnp.float32) * flags_f
+            # position selector (N,128): one reshape to column orientation
+            within_c = (target - (target // 128) * 128).reshape(N, 1)
+            in_f = (within_c == wcol).astype(jnp.float32)              # (N,128)
+            w_lo = (word & 255).astype(jnp.float32).reshape(N, 1)
+            w_hi = _srl(word, 8).astype(jnp.float32).reshape(N, 1)
+            add_lo = add_lo + jnp.dot(sel_c_f, in_f * w_lo,
+                                      preferred_element_type=jnp.float32)
+            add_hi = add_hi + jnp.dot(sel_c_f, in_f * w_hi,
+                                      preferred_element_type=jnp.float32)
+
+            st = jnp.where(flags, _srl(st, 16), st)
+            q, r = _exact_divmod_u32(st, freq)
+            new_st = (q << 16) | (r + start)
+            states = jnp.where(active, new_st, states)
+            local = local + c
+            c_total = c_total + c
+
+        @pl.when(c_total > 0)   # batches with no renorm skip the RMW
+        def write_words():
             add = (add_hi.astype(jnp.int32) * 256 + add_lo.astype(jnp.int32))
             cur = words_ref[pl.ds(base, 2048)].reshape(16, 128)
             words_ref[pl.ds(base, 2048)] = (cur + add).reshape(2048)
 
-        st = jnp.where(flags, _srl(st, 16), st)
-
-        q, r = _exact_divmod_u32(st, freq)
-        new_st = (q << 16) | (r + start)
-        states = jnp.where(active, new_st, states)
-        return states, ptr + c
+        return states, ptr + c_total
 
     # zero the word buffer: the scatter is add-based (each position written
     # exactly once, but on top of whatever was in the uninitialized output)
@@ -135,8 +161,8 @@ def _encode_kernel(end_in_ref, row_n_ref,                # scalar prefetch (SMEM
         return 0
     jax.lax.fori_loop(0, W_cap // 2048, zero_chunk, 0)
 
-    states0 = states_in_ref[:].reshape(N, 1)
-    states, ptr = jax.lax.fori_loop(0, T, body, (states0, jnp.int32(0)))
+    states0 = states_in_ref[:].reshape(1, N)
+    states, ptr = jax.lax.fori_loop(0, TB, body, (states0, jnp.int32(0)))
     states_out_ref[:] = states.reshape(states_out_ref.shape)
     end_out_ref[0] = ptr
 

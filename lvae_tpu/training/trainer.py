@@ -140,10 +140,33 @@ class BaseTrainingWrapper:
             # push raw uint8 batches (4x fewer host->device bytes; the
             # train step normalizes on device)
             dataset.out_dtype = np.dtype(np.uint8)
+        seed = 2 if cfg.fixseed else int(time.time())
+        if getattr(cfg, 'device_data', False) and not self.distributed:
+            # whole uint8 dataset resident on device; per-step upload is a
+            # (B,4) int32 parameter array. Bitwise-identical batches to the
+            # threaded loader (datasets/device_cache.py)
+            from lvae_tpu.datasets.device_cache import DeviceDataLoader
+            trainloader = DeviceDataLoader(
+                dataset, batch_size=cfg.batch_size, mesh=self.mesh,
+                num_shards=self.world_size, shard_id=self.local_rank,
+                seed=seed)
+            sampler = trainloader.sampler
+            logging.info(f'device data cache: {len(dataset)} images '
+                         f'({trainloader.images.nbytes / 1e9:.2f} GB on '
+                         'device); per-step host->device traffic is the '
+                         'augmentation parameters only')
+            self._epoch_len = len(dataset) / cfg.bs_effective
+            self.trainloader = trainloader
+            self.trainsampler = sampler
+            self.cfg.epochs = float(cfg.iterations / self._epoch_len)
+            return
+        if getattr(cfg, 'device_data', False):
+            logging.warning('--device_data is single-process only; using '
+                            'the threaded host loader')
         trainloader, sampler = make_trainloader(
             dataset, batch_size=cfg.batch_size, workers=cfg.workers,
             num_shards=self.world_size, shard_id=self.local_rank,
-            seed=2 if cfg.fixseed else int(time.time()))
+            seed=seed)
         self._epoch_len = len(dataset) / cfg.bs_effective
         self.trainloader = trainloader
         self.trainsampler = sampler
@@ -374,7 +397,13 @@ class BaseTrainingWrapper:
 
         def consume(p):
             step_p, metrics_dev, lr_p, batch_p = p
-            metrics = {k: float(v) for k, v in metrics_dev.items()}  # sync
+            # ONE device->host fetch for all metric scalars: per-key
+            # float(v) pays the runtime's fixed per-transfer latency floor
+            # once PER METRIC (~27 ms each through a tunneled runtime —
+            # more than the device step itself at 5 metrics)
+            keys = sorted(metrics_dev)
+            flat = np.asarray(jnp.stack([metrics_dev[k] for k in keys]))
+            metrics = dict(zip(keys, (float(v) for v in flat)))  # sync
             t_now = time.perf_counter()
             if self._t_prev is not None:
                 dt = t_now - self._t_prev

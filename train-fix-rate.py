@@ -61,6 +61,7 @@ _SCHEMA = {
         ('remat', 'bool', False),  # per-block gradient rematerialization
         ('workers', int, 6),
         ('data_cache', 'bool', False),  # pre-decode trainset to a raw uint8 blob
+        ('device_data', 'bool', False),  # whole uint8 trainset device-resident
         ('probe_device_step', 'bool', False),
     ],
 }

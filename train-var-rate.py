@@ -61,6 +61,8 @@ def parse_args():
     parser.add_argument('--remat',      action=argparse.BooleanOptionalAction, default=False)
     parser.add_argument('--workers',    type=int, default=6)
     parser.add_argument('--data_cache', action=argparse.BooleanOptionalAction, default=False)
+    # whole uint8 trainset resident in device memory (single-process runs)
+    parser.add_argument('--device_data', action=argparse.BooleanOptionalAction, default=False)
     parser.add_argument('--probe_device_step', action=argparse.BooleanOptionalAction, default=False)
     cfg = parser.parse_args()
 
