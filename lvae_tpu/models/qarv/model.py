@@ -460,7 +460,11 @@ class QarvModel(VAEModelBase):
         lmb_arr = jnp.full((nB,), float(lmb), jnp.float32) \
             if np.ndim(lmb) == 0 else jnp.asarray(lmb, jnp.float32)
         loss, stats = self._jit_eval(self.params, im, lmb_arr)
-        stats = {k: float(v) for k, v in stats.items()}
+        # one device->host fetch for all stat scalars (per-key float(v)
+        # pays the runtime's fixed per-transfer floor once per key)
+        from lvae_tpu import parallel
+        stats = {k: float(v)
+                 for k, v in parallel.fast_device_get(stats).items()}
         stats['psnr'] = -10 * math.log10(max(stats.pop('mse_im'), 1e-12))
         if return_rec:
             stats['im_hat'] = np.asarray(self.reconstruct(im, lmb_arr))

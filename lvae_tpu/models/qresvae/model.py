@@ -427,7 +427,10 @@ class QresModel(VAEModelBase):
         im = to_nhwc_batch(im)
         self._check_input(im, raw=raw)
         loss, stats = self._jit_eval_forward(self.params, im)
-        stats = {k: float(v) for k, v in stats.items()}
+        # one bulk fetch for the stat scalars (fixed per-transfer floor)
+        from lvae_tpu import parallel
+        stats = {k: float(v)
+                 for k, v in parallel.fast_device_get(stats).items()}
         stats['psnr'] = -10 * math.log10(max(stats.pop('mse_im'), 1e-12))
         if return_rec:
             stats['im_hat'] = np.asarray(self._jit_reconstruct(self.params, im))

@@ -305,7 +305,10 @@ class RDModel(VAEModelBase):
                                            lmb=lmb, training=True)
             self._jit_eval_fn = jax.jit(f)
         loss, stats = self._jit_eval_fn(self.params, im, lmb_arr)
-        stats = {k: float(v) for k, v in stats.items()}
+        # one bulk fetch for the stat scalars (fixed per-transfer floor)
+        from lvae_tpu import parallel
+        stats = {k: float(v)
+                 for k, v in parallel.fast_device_get(stats).items()}
         stats['psnr'] = -10 * math.log10(max(stats.pop('mse_im'), 1e-12))
         return stats
 

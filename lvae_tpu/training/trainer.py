@@ -401,9 +401,8 @@ class BaseTrainingWrapper:
             # float(v) pays the runtime's fixed per-transfer latency floor
             # once PER METRIC (~27 ms each through a tunneled runtime —
             # more than the device step itself at 5 metrics)
-            keys = sorted(metrics_dev)
-            flat = np.asarray(jnp.stack([metrics_dev[k] for k in keys]))
-            metrics = dict(zip(keys, (float(v) for v in flat)))  # sync
+            metrics = {k: float(v) for k, v in
+                       parallel.fast_device_get(metrics_dev).items()}  # sync
             t_now = time.perf_counter()
             if self._t_prev is not None:
                 dt = t_now - self._t_prev
