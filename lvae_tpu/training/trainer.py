@@ -395,14 +395,28 @@ class BaseTrainingWrapper:
         self._t_prev = None
         pending = None                       # (step, metrics_dev, lr, batch)
 
+        # metric scalars leave the device as ONE packed array whose
+        # device->host copy is STARTED right after the step dispatch
+        # (copy_to_host_async) and read one step later: per-key float(v)
+        # paid the runtime's fixed per-transfer latency floor once PER
+        # METRIC (~27 ms each through a tunneled runtime — more than the
+        # device step itself at 5 metrics), and even one packed synchronous
+        # fetch still blocked the host for a full floor every step
+        pack_metrics = jax.jit(lambda vals: jnp.stack(vals))
+
+        def stage_metrics(metrics_dev):
+            keys = sorted(metrics_dev)
+            packed = pack_metrics([metrics_dev[k] for k in keys])
+            try:
+                packed.copy_to_host_async()
+            except Exception:
+                pass
+            return keys, packed
+
         def consume(p):
-            step_p, metrics_dev, lr_p, batch_p = p
-            # ONE device->host fetch for all metric scalars: per-key
-            # float(v) pays the runtime's fixed per-transfer latency floor
-            # once PER METRIC (~27 ms each through a tunneled runtime —
-            # more than the device step itself at 5 metrics)
-            metrics = {k: float(v) for k, v in
-                       parallel.fast_device_get(metrics_dev).items()}  # sync
+            step_p, (keys, packed), lr_p, batch_p = p
+            metrics = dict(zip(keys, (float(v) for v in
+                                      np.asarray(packed))))  # sync
             t_now = time.perf_counter()
             if self._t_prev is not None:
                 dt = t_now - self._t_prev
@@ -466,7 +480,7 @@ class BaseTrainingWrapper:
                                               self.mesh)
             if pending is not None:
                 consume(pending)
-            pending = (step, metrics_dev, lr_now, batch)
+            pending = (step, stage_metrics(metrics_dev), lr_now, batch)
 
         if pending is not None:
             consume(pending)
