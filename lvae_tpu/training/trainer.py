@@ -330,7 +330,14 @@ class BaseTrainingWrapper:
         metric pulls) by chaining k non-donating steps on a state copy and
         syncing once — separates device MFU from end-to-end MFU in
         train_log.jsonl. Opt-in (--probe_device_step): costs one extra
-        executable compile and a few throwaway steps at startup."""
+        executable compile and a few throwaway steps at startup.
+
+        Caveat (measured, suite10): the non-donating twin cannot alias the
+        ~1.5 GB state into its outputs, so this probe OVERESTIMATES the
+        production (donated) step — e.g. 101 ms probed vs ~85 ms
+        steady-state wall for qarv_base batch 16 on v5e. Treat it as an
+        upper bound; the end-to-end img/s is the ground truth once the
+        host path is non-blocking (--device_data + async metric copy)."""
         import numpy as np
         args = (jnp.float32(1e-9), jnp.float32(1e9), jnp.float32(0.5))
         s, m = self._train_step_nodonate(self.state, batch, rng, *args)
