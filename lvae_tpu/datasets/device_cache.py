@@ -53,15 +53,10 @@ class DeviceDataLoader:
         # host-side stacking; images smaller than the crop are reflect-
         # padded EXACTLY as RandomCropFlip does, so the crop-coordinate rng
         # draws below see the same (h, w) ranges as the host loader
+        from lvae_tpu.datasets.image import reflect_pad_to
         arrs, dims = [], []
         for i in range(len(dataset)):
-            a = dataset._load_u8(i)
-            h, w = a.shape[:2]
-            if h < c or w < c:
-                ph, pw = max(0, c - h), max(0, c - w)
-                a = np.pad(a, ((ph // 2, ph - ph // 2),
-                               (pw // 2, pw - pw // 2), (0, 0)),
-                           mode='reflect')
+            a = reflect_pad_to(dataset._load_u8(i), c)
             dims.append(a.shape[:2])
             arrs.append(a)
         maxH = max(d[0] for d in dims)
@@ -103,9 +98,9 @@ class DeviceDataLoader:
         """(B, 4) int32 [image index, crop top, crop left, hflip] — same
         rng stream and draw ORDER as loader.make_trainloader.build_batch +
         RandomCropFlip, hence bitwise-equal batches."""
+        from lvae_tpu.datasets.loader import batch_rng
         B = self.batch_size
-        rng = np.random.default_rng(
-            (self.seed + 1) * 100003 + self.shard_id * 1009 + bn)
+        rng = batch_rng(self.seed, self.shard_id, bn)
         out = np.zeros((B, 4), np.int32)
         c = self.crop
         for j in range(B):

@@ -37,6 +37,19 @@ def parse_transform_cfg(cfg_str):
     return out
 
 
+def reflect_pad_to(arr: np.ndarray, c: int) -> np.ndarray:
+    """Reflect-pad an HWC image up to at least c x c (no-op when large
+    enough). Shared by RandomCropFlip and the device-resident cache so the
+    crop-coordinate rng draws see identical (h, w) ranges on both paths."""
+    h, w = arr.shape[:2]
+    if h >= c and w >= c:
+        return arr
+    pad_h, pad_w = max(0, c - h), max(0, c - w)
+    return np.pad(arr, ((pad_h // 2, pad_h - pad_h // 2),
+                        (pad_w // 2, pad_w - pad_w // 2), (0, 0)),
+                  mode='reflect')
+
+
 class RandomCropFlip:
     """Random crop (reflect-pad if needed) + optional horizontal flip,
     matching the reference's torchvision transform semantics
@@ -49,13 +62,8 @@ class RandomCropFlip:
     def __call__(self, arr: np.ndarray, rng: np.random.Generator) -> np.ndarray:
         if self.crop is not None:
             c = self.crop
+            arr = reflect_pad_to(arr, c)
             h, w = arr.shape[:2]
-            if h < c or w < c:
-                pad_h, pad_w = max(0, c - h), max(0, c - w)
-                arr = np.pad(arr, ((pad_h // 2, pad_h - pad_h // 2),
-                                   (pad_w // 2, pad_w - pad_w // 2), (0, 0)),
-                             mode='reflect')
-                h, w = arr.shape[:2]
             top = int(rng.integers(0, h - c + 1))
             left = int(rng.integers(0, w - c + 1))
             arr = arr[top:top + c, left:left + c]

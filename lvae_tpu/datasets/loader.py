@@ -18,7 +18,15 @@ import threading
 
 import numpy as np
 
-__all__ = ['make_trainloader', 'ShardedSampler']
+__all__ = ['make_trainloader', 'ShardedSampler', 'batch_rng']
+
+
+def batch_rng(seed, shard_id, bn):
+    """The per-batch augmentation rng. Batch `bn` of shard `shard_id` is
+    ALWAYS augmented from this stream, whichever loader builds it — the
+    device-resident cache (datasets/device_cache.py) replays the same
+    stream to produce bitwise-identical batches."""
+    return np.random.default_rng((seed + 1) * 100003 + shard_id * 1009 + bn)
 
 
 class ShardedSampler:
@@ -83,8 +91,7 @@ def make_trainloader(dataset, batch_size: int, workers: int = 2,
     stop = threading.Event()
 
     def build_batch(bn):
-        rng = np.random.default_rng(
-            (seed + 1) * 100003 + shard_id * 1009 + bn)
+        rng = batch_rng(seed, shard_id, bn)
         idxs = [sampler.index_at(bn * batch_size + j)
                 for j in range(batch_size)]
         return np.stack([dataset.get(i, rng) for i in idxs])

@@ -175,6 +175,10 @@ def rans_decode_block(indexes, states, ptr, stream, cdfs, offsets,
     T, N = indexes.shape
     S, L = cdfs.shape
     assert N == num_lanes
+    # the K-row batch hoists ONE 2048-word window per batch; a batch may
+    # consume up to local0 (<1024) + K*N words, so lane counts past 128
+    # would silently read zeros past the window
+    assert _KROWS * N <= 1024, f'num_lanes {N} > {1024 // _KROWS} unsupported'
     # byte-split tables/stream so every MXU gather is exact; tables are
     # passed TRANSPOSED (L,S) — the kernel gathers CDF columns in (L,N)
     # lane orientation (see kernel docstring)

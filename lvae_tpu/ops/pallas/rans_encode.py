@@ -186,6 +186,10 @@ def rans_encode_all(syms, indexes, row_n, cdfs, num_lanes=128,
     T, N = syms.shape
     S, L = cdfs.shape
     assert N == num_lanes
+    # the K-row batch flushes ONE 2048-word window per batch; a batch may
+    # emit up to local0 (<1024) + K*N words, so lane counts past 128 would
+    # silently drop words past the window
+    assert _KROWS * N <= 1024, f'num_lanes {N} > {1024 // _KROWS} unsupported'
     if w_cap is None:
         w_cap = T * N  # worst case: one word per symbol
     # +2048 high pad: the aligned write window may overhang the capacity

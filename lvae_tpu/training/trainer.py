@@ -155,18 +155,14 @@ class BaseTrainingWrapper:
                          f'({trainloader.images.nbytes / 1e9:.2f} GB on '
                          'device); per-step host->device traffic is the '
                          'augmentation parameters only')
-            self._epoch_len = len(dataset) / cfg.bs_effective
-            self.trainloader = trainloader
-            self.trainsampler = sampler
-            self.cfg.epochs = float(cfg.iterations / self._epoch_len)
-            return
-        if getattr(cfg, 'device_data', False):
-            logging.warning('--device_data is single-process only; using '
-                            'the threaded host loader')
-        trainloader, sampler = make_trainloader(
-            dataset, batch_size=cfg.batch_size, workers=cfg.workers,
-            num_shards=self.world_size, shard_id=self.local_rank,
-            seed=seed)
+        else:
+            if getattr(cfg, 'device_data', False):
+                logging.warning('--device_data is single-process only; '
+                                'using the threaded host loader')
+            trainloader, sampler = make_trainloader(
+                dataset, batch_size=cfg.batch_size, workers=cfg.workers,
+                num_shards=self.world_size, shard_id=self.local_rank,
+                seed=seed)
         self._epoch_len = len(dataset) / cfg.bs_effective
         self.trainloader = trainloader
         self.trainsampler = sampler
@@ -579,7 +575,10 @@ class BaseTrainingWrapper:
             try:
                 import wandb
                 import numpy as np
-                ims = np.asarray(batch)[:16]
+                # slice ON DEVICE before the pull: with --device_data the
+                # batch is a device array and a full-batch np.asarray would
+                # re-add the pixel D2H transfer the cache removed
+                ims = np.asarray(batch[:16])
                 n = ims.shape[0]
                 side = int(np.ceil(np.sqrt(n)))
                 H, W = ims.shape[1], ims.shape[2]

@@ -48,7 +48,7 @@ def main():
     (ROOT / 'runs' / 'train-topops-r3.txt').write_text('\n'.join(keep))
 
     (ROOT / 'runs' / 'train-asyncmetrics-r3.json').write_text(
-        json.dumps({k: v for k, v in results.items()}, indent=2))
+        json.dumps(results, indent=2))
     print(json.dumps(results), flush=True)
 
 
