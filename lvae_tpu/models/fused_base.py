@@ -116,6 +116,20 @@ class FusedCodecBase:
             self._codec_cache[key] = self._build_codec(imH, imW)
         return self._codec_cache[key]
 
+    def _codec_b(self, imH, imW, B):
+        """Batched unified codec (serving throughput mode): one executable
+        coding B same-shape images — convs/trunk batched on the MXU, the
+        per-image rANS kernels chained inside the program, payloads pulled
+        in ONE host fetch for all B images. Per-image streams keep the
+        exact single-image wire format, but are self-consistent WITHIN this
+        batch-B executable: like the B=1 program (see _canon_sizes), the
+        compiled binary is part of the codec — decode a batch-B stream with
+        the batch-B program."""
+        key = (imH, imW, B)
+        if key not in self._codec_cache:
+            self._codec_cache[key] = self._build_codec_batch(imH, imW, B)
+        return self._codec_cache[key]
+
     def _dummies(self, imH, imW):
         """Device-resident canonical-shape dummy operands + flag scalars.
 
@@ -172,16 +186,12 @@ class FusedCodecBase:
             d['esc_pos'], d['esc_val'], *extra)
         return self._payload_to_bytes(payload, (imH, imW)), _np.asarray(img)
 
-    def _payload_to_bytes(self, payload, key):
+    def _assemble_body(self, pulled, fetch_rest):
+        """Build one image's wire-format body from its pulled payload
+        prefix; fetch_rest(cur_len, need) supplies the tail when the
+        adaptive estimate was too small. Returns (bytes, n_words, n_esc)."""
         N, esc_cap = self.N, self.esc_cap
         head_len = 3 + N
-        total = int(payload.shape[0])
-        est = self._pull_words.get(key)
-        if est is None:
-            take = total                       # first image: everything
-        else:
-            take = min(head_len + (est[0] + 1) // 2 + 2 * est[1], total)
-        pulled = np.asarray(payload[:take])
         n_words = int(pulled[0])
         n_esc = int(pulled[1])
         if n_esc > esc_cap:
@@ -190,11 +200,9 @@ class FusedCodecBase:
                 f'raise esc_cap (compress_mode) or use coder="host"')
         half = (n_words + 1) // 2
         need = head_len + half + 2 * n_esc
-        if need > take:                        # estimate too small: pull rest
-            rest = np.asarray(payload[take:need])
-            pulled = np.concatenate([pulled, rest])
-        self._pull_words[key] = (int(n_words * 1.2) + 64,
-                                 int(n_esc * 1.2) + 8)
+        if need > pulled.shape[0]:             # estimate too small: pull rest
+            pulled = np.concatenate(
+                [pulled, fetch_rest(int(pulled.shape[0]), need)])
 
         states_u32 = pulled[3:3 + N].copy().view('<u4')
         packed = np.ascontiguousarray(pulled[head_len:head_len + half])
@@ -206,6 +214,22 @@ class FusedCodecBase:
         esc_pairs = esc_pairs.astype(np.int64)
         out += coding.pack_escapes(esc_pairs[0::2], esc_pairs[1::2])
         out += words16.astype('<u2').tobytes()
+        return out, n_words, n_esc
+
+    def _payload_to_bytes(self, payload, key):
+        N = self.N
+        head_len = 3 + N
+        total = int(payload.shape[0])
+        est = self._pull_words.get(key)
+        if est is None:
+            take = total                       # first image: everything
+        else:
+            take = min(head_len + (est[0] + 1) // 2 + 2 * est[1], total)
+        pulled = np.asarray(payload[:take])
+        out, n_words, n_esc = self._assemble_body(
+            pulled, lambda cur, need: np.asarray(payload[cur:need]))
+        self._pull_words[key] = (int(n_words * 1.2) + 64,
+                                 int(n_esc * 1.2) + 8)
         return out
 
     @staticmethod
@@ -311,6 +335,123 @@ class FusedCodecBase:
                 self._dec_wrap.clear()
             self._dec_wrap[pkey] = prep
         blob = np.concatenate([states.ravel(), packed, esc_pos, esc_val])
+        st, pk, ep, ev = prep(jnp.asarray(blob))
+        _, img = dec(params, d['im'], d['dec'], d['on'],
+                     st, pk, ep, ev, *extra)
+        return img
+
+    # ---- batched serving mode -------------------------------------------
+
+    def _dummies_b(self, imH, imW, B):
+        """Batched canonical-shape dummy operands (see _dummies)."""
+        key = (imH, imW, B)
+        d = self._dummy_cache.get(key)
+        if d is None:
+            nH = imH // self.net.max_stride
+            nW = imW // self.net.max_stride
+            PK, EB = self._canon_sizes(nH, nW)
+            d = dict(
+                im=jnp.zeros((B, imH, imW, 3), jnp.float32),
+                states=jnp.zeros((B, 1, self.N), jnp.int32),
+                packed=jnp.zeros((B, PK), jnp.int32),
+                esc_pos=jnp.full((B, EB), -1, jnp.int32),
+                esc_val=jnp.zeros((B, EB), jnp.int32),
+                enc=jnp.int32(self.MODE_ENC), dec=jnp.int32(self.MODE_DEC),
+                off=jnp.int32(0), on=jnp.int32(1))
+            self._dummy_cache[key] = d
+        return d
+
+    def encode_batch(self, params, ims, *extra):
+        """Encode B same-shape images in ONE program invocation; all B
+        payload prefixes arrive in ONE adaptive host pull. Returns a list
+        of B single-image wire-format bodies."""
+        B, imH, imW, _ = ims.shape
+        d = self._dummies_b(imH, imW, B)
+        payload, _ = self._codec_b(imH, imW, B)(
+            params, ims, d['enc'], d['off'], d['states'], d['packed'],
+            d['esc_pos'], d['esc_val'], *extra)
+        return self._payloads_to_bytes(payload, (imH, imW, B))
+
+    def encode_check_batch(self, params, ims, *extra):
+        """Batch self-check encode: also returns the images reconstructed
+        from the encode-side symbols (same executable as decode_batch)."""
+        B, imH, imW, _ = ims.shape
+        d = self._dummies_b(imH, imW, B)
+        payload, img = self._codec_b(imH, imW, B)(
+            params, ims, d['enc'], d['on'], d['states'], d['packed'],
+            d['esc_pos'], d['esc_val'], *extra)
+        return (self._payloads_to_bytes(payload, (imH, imW, B)),
+                np.asarray(img))
+
+    def _payloads_to_bytes(self, payload, key):
+        """(B, P) payload rows -> list of B bodies, ONE bulk prefix pull."""
+        N = self.N
+        head_len = 3 + N
+        B, total = int(payload.shape[0]), int(payload.shape[1])
+        est = self._pull_words.get(key)
+        if est is None:
+            take = total
+        else:
+            take = min(head_len + (est[0] + 1) // 2 + 2 * est[1], total)
+        pulled = np.asarray(payload[:, :take])          # ONE fetch, B rows
+        bodies, max_w, max_e = [], 0, 0
+        for b in range(B):
+            out, n_words, n_esc = self._assemble_body(
+                pulled[b], lambda cur, need, _b=b: np.asarray(
+                    payload[_b, cur:need]))
+            bodies.append(out)
+            max_w, max_e = max(max_w, n_words), max(max_e, n_esc)
+        self._pull_words[key] = (int(max_w * 1.2) + 64,
+                                 int(max_e * 1.2) + 8)
+        return bodies
+
+    def decode_batch_to_device(self, params, bodies, nH, nW, *extra):
+        """Parse + push B streams as ONE blob; run the batch-B codec in
+        decode mode; returns (B, H, W, 3) images ON DEVICE (async)."""
+        parsed = [self.parse_payload(bd) for bd in bodies]
+        B = len(bodies)
+        ms = self.net.max_stride
+        imH, imW = nH * ms, nW * ms
+        dec = self._codec_b(imH, imW, B)
+        d = self._dummies_b(imH, imW, B)
+        N = self.N
+        PK, EB = self._canon_sizes(nH, nW)
+        sizes = tuple((int(p[1].size), int(p[2].size)) for p in parsed)
+        assert all(wb <= PK and eb <= EB for wb, eb in sizes), \
+            f'stream exceeds canonical buffers {PK}/{EB}: {sizes}'
+        pkey = (nH, nW, B, sizes)
+        prep = self._dec_wrap.get(pkey)
+        if prep is None:
+            def prep(blob, _sizes=sizes, _PK=PK, _EB=EB):
+                sts, pks, eps, evs = [], [], [], []
+                off = 0
+                for wb, eb in _sizes:
+                    sts.append(blob[off:off + N].reshape(1, N))
+                    off += N
+                    pk = jnp.zeros((_PK,), jnp.int32)
+                    pk = jax.lax.dynamic_update_slice(
+                        pk, blob[off:off + wb], (0,))
+                    off += wb
+                    ep = jnp.full((_EB,), -1, jnp.int32)
+                    ep = jax.lax.dynamic_update_slice(
+                        ep, blob[off:off + eb], (0,))
+                    off += eb
+                    ev = jnp.zeros((_EB,), jnp.int32)
+                    ev = jax.lax.dynamic_update_slice(
+                        ev, blob[off:off + eb], (0,))
+                    off += eb
+                    pks.append(pk)
+                    eps.append(ep)
+                    evs.append(ev)
+                return (jnp.stack(sts), jnp.stack(pks),
+                        jnp.stack(eps), jnp.stack(evs))
+            prep = jax.jit(prep)
+            if len(self._dec_wrap) > 64:
+                self._dec_wrap.clear()
+            self._dec_wrap[pkey] = prep
+        blob = np.concatenate(
+            [np.concatenate([p[0].ravel(), p[1], p[2], p[3]])
+             for p in parsed])
         st, pk, ep, ev = prep(jnp.asarray(blob))
         _, img = dec(params, d['im'], d['dec'], d['on'],
                      st, pk, ep, ev, *extra)

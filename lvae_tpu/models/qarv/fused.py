@@ -236,3 +236,157 @@ class FusedQarvCodec(FusedCodecBase):
             return payload, image
 
         return jax.jit(prog)
+
+    # ------------------------------------------- batched serving program
+
+    def _build_codec_batch(self, imH, imW, B):
+        """Batch-B unified codec: prog(params, ims(B,), mode, want_image,
+        states(B,1,N), packed(B,PK), esc_pos/esc_val(B,EB), lmb(B,)) ->
+        (payloads (B,P), images (B,imH,imW,3)).
+
+        Same single-executable bit-exactness discipline as _build_codec:
+        ONE binary serves encode, selfcheck and decode via the runtime mode
+        operand, so every image in the batch round-trips bitwise against
+        its own encode-side reconstruction. The backbone/trunk convs run
+        BATCHED on the MXU (better utilization than B sequential programs);
+        the inherently sequential rANS kernels run per image inside the
+        program; payload pull and stream push amortize the runtime's fixed
+        per-transfer cost over B images. lmb is per-image (variable-rate
+        serving in one batch). Streams keep the single-image wire format
+        but, as with every compiled codec here, decode with the SAME
+        batch-B executable (cross-program f32 drift is the round-3 lesson).
+        """
+        net, N, cd = self.net, self.N, self.compute_dtype
+        nH, nW = imH // net.max_stride, imW // net.max_stride
+        sizes = self._block_sizes(nH, nW)
+        from lvae_tpu.models.qarv.model import _patch_escapes
+
+        blocks = list(net.dec_blocks)
+        stop = next(i for i, b in enumerate(blocks)
+                    if isinstance(b, common.CompressionStopFlag))
+        offsets_np = self.offsets_np
+
+        def prog(params, im, mode, want_image, states, packed,
+                 esc_pos, esc_val, lmb):
+            is_dec = jnp.equal(mode, jnp.int32(self.MODE_DEC))
+            emb = _ob(self._emb_stage(params, lmb))            # (B, D)
+            emb_c = emb.astype(jnp.float32)
+            words_b = [self.unpack_words(packed[b]) for b in range(B)]
+
+            def _backbone():
+                emb_bb = emb.astype(im.dtype if cd is None else jnp.dtype(cd))
+                x = net.preprocess_input(im if cd is None else im.astype(cd))
+                feats = []
+                for i, blk in enumerate(net.enc_blocks):
+                    bp = cast_tree(params.get(f'enc_blocks_{i}', {}), cd)
+                    if isinstance(blk, common.SetKey):
+                        feats.append(x.astype(jnp.float32))
+                    elif getattr(blk, 'requires_embedding', False):
+                        x = blk.apply({'params': bp}, x, emb_bb)
+                    else:
+                        x = blk.apply({'params': bp}, x) if bp else blk(x)
+                return tuple(feats)
+
+            bb_shapes = jax.eval_shape(_backbone)
+            feats = jax.lax.cond(
+                is_dec,
+                lambda: tuple(jnp.zeros(s.shape, s.dtype) for s in bb_shapes),
+                _backbone)
+            enc_features = dict(zip(
+                [b.key for b in net.enc_blocks
+                 if isinstance(b, common.SetKey)], feats))
+
+            bias = params['bias']
+            feature = _ob(jnp.broadcast_to(bias, (B, nH, nW, bias.shape[-1])))
+            # per-image lane states / stream pointers, carried across blocks
+            st_b = tuple(states[b] for b in range(B))
+            pt_b = tuple(jnp.int32(0) for _ in range(B))
+            li = 0
+            gstart = 0
+            syms_flat, idx_flat = [], []       # per block: (B, nsym) arrays
+            for k, blk in enumerate(blocks[:stop]):
+                bp = params.get(f'dec_blocks_{k}', {})
+                if getattr(blk, 'is_latent_block', False):
+                    f_mid, pm, indexes = self._prior(blk, bp, feature, emb_c)
+                    nsym = sizes[li]
+                    T = max((nsym + N - 1) // N, 1)
+                    idx_i = indexes.reshape(B, -1).astype(jnp.int32)
+                    zshape1 = indexes.shape[1:]
+
+                    def _dec(carry, idx_i=idx_i, nsym=nsym,
+                             zshape1=zshape1, T=T, gs=gstart):
+                        st_b, pt_b = carry
+                        outs, st2, pt2 = [], [], []
+                        for b in range(B):
+                            idx_rows = jnp.pad(
+                                idx_i[b], (0, T * N - nsym)).reshape(T, N)
+                            syms_TN, st, p = prd.rans_decode_block(
+                                idx_rows, st_b[b], pt_b[b], words_b[b],
+                                self.cdfs, jnp.asarray(offsets_np),
+                                jnp.int32(nsym), num_lanes=N,
+                                interpret=self.interpret)
+                            z = syms_TN.reshape(-1)[:nsym].reshape(zshape1)
+                            z = _patch_escapes(z, esc_pos[b], esc_val[b],
+                                               jnp.int32(gs))
+                            outs.append(z)
+                            st2.append(st)
+                            pt2.append(p)
+                        return tuple(st2), tuple(pt2), jnp.stack(outs)
+
+                    def _dec_skip(carry, zshape1=zshape1):
+                        st_b, pt_b = carry
+                        return st_b, pt_b, jnp.zeros((B,) + zshape1,
+                                                     jnp.int32)
+
+                    st_b, pt_b, z_dec = jax.lax.cond(
+                        is_dec, _dec, _dec_skip, (st_b, pt_b))
+
+                    def _enc(blk=blk, bp=bp, f_mid=f_mid, pm=pm,
+                             ek=blk.enc_key):
+                        qm = blk.apply({'params': bp}, f_mid,
+                                       enc_features[ek], emb_c,
+                                       method='posterior_qm')
+                        return jnp.round(
+                            qm.astype(jnp.float32) -
+                            pm.astype(jnp.float32)).astype(jnp.int32)
+
+                    syms_enc = jax.lax.cond(
+                        is_dec,
+                        lambda zshape1=zshape1: jnp.zeros((B,) + zshape1,
+                                                          jnp.int32),
+                        _enc)
+                    syms = _ob(jnp.where(is_dec, z_dec, syms_enc))
+                    feature = self._fuse(blk, bp, f_mid, pm, syms, emb_c)
+                    syms_flat.append(syms.reshape(B, -1))
+                    idx_flat.append(idx_i)
+                    gstart += nsym
+                    li += 1
+                else:
+                    feature = self._plain(blk, bp, feature, emb_c)
+
+            # encode-only: per-image rANS encode kernel + payload assembly
+            def _pack():
+                return jnp.stack([
+                    self.pack_payload([s[b] for s in syms_flat],
+                                      [ix[b] for ix in idx_flat])
+                    for b in range(B)])
+            pshape = jax.eval_shape(_pack)
+            payload = jax.lax.cond(
+                is_dec,
+                lambda: jnp.zeros(pshape.shape, pshape.dtype), _pack)
+
+            def _tail(feat):
+                for k2 in range(stop + 1, len(blocks)):
+                    bp2 = params.get(f'dec_blocks_{k2}', {})
+                    feat = self._plain(blocks[k2], bp2, feat, emb_c)
+                im_out = jnp.clip(feat.astype(jnp.float32),
+                                  -1.0, 1.0) * 0.5 + 0.5
+                return im_out.astype(jnp.float16)
+
+            image = jax.lax.cond(
+                jnp.equal(want_image, jnp.int32(1)), _tail,
+                lambda feat: jnp.zeros((B, imH, imW, 3), jnp.float16),
+                feature)
+            return payload, image
+
+        return jax.jit(prog)

@@ -904,6 +904,69 @@ class QarvModel(VAEModelBase):
         out += coding.pack_escapes(escapes[:, 0], escapes[:, 1])
         return out
 
+    def compress_batch(self, ims, lmb=None):
+        """Batch serving encode: B same-shape images -> list of B byte
+        bodies in the standard single-image container format. The
+        backbone/trunk convs run BATCHED on the MXU and all B payloads
+        arrive in one host pull, so per-image wall time amortizes the
+        runtime's fixed dispatch/transfer costs (no reference counterpart —
+        the reference codes one image at a time through its CPU coder).
+
+        lmb may be a scalar or a length-B sequence (per-image rate targets
+        in one batch — the lambda embedding is per-image anyway). Streams
+        must be decoded by `decompress_batch` at the SAME batch size: like
+        every fused codec here, the compiled executable is part of the
+        codec (f32 trunk numerics are only bit-stable within one binary —
+        see qarv/fused.py)."""
+        assert self.compressing, 'call compress_mode() first'
+        assert getattr(self, 'coder_kind', 'host') == 'fused', \
+            'compress_batch requires compress_mode(coder="fused")'
+        ims = to_nhwc_batch(ims)
+        self._check_input(ims)
+        nB, imH, imW, _ = ims.shape
+        nH, nW = imH // self.net.max_stride, imW // self.net.max_stride
+        if lmb is None:
+            lmb = self.default_lmb
+        lmbs = [float(v) for v in (lmb if np.ndim(lmb) else [lmb] * nB)]
+        assert len(lmbs) == nB, f'{len(lmbs)} lambdas for {nB} images'
+        lmbs = [struct.unpack('f', struct.pack('f', v))[0] for v in lmbs]
+        if self.num_lanes == 'auto':
+            # one lane count for the whole batch (the kernel's N is static);
+            # max over the per-image choices keeps high-rate latency
+            self._fused = self._get_fused(
+                max(self._auto_lanes(v) for v in lmbs))
+        bodies = self._fused.encode_batch(
+            self.params, jnp.asarray(ims),
+            jnp.asarray(lmbs, jnp.float32))
+        return [struct.pack('f', lmbs[b]) + struct.pack('3H', 1, nH, nW)
+                + bodies[b] for b in range(nB)]
+
+    def decompress_batch_to_device(self, strings):
+        """Batch decode of `compress_batch` outputs; returns (B,H,W,3) f16
+        images ON DEVICE (async)."""
+        assert self.compressing, 'call compress_mode() first'
+        lmbs, bodies = [], []
+        shape = None
+        for s in strings:
+            lmb_v, = struct.unpack('f', s[:4])
+            nB_i, nH, nW = struct.unpack('3H', s[4:10])
+            assert nB_i == 1
+            assert shape is None or shape == (nH, nW), \
+                'all batch streams must share one image shape'
+            shape = (nH, nW)
+            lmbs.append(lmb_v)
+            bodies.append(s[10:])
+        lanes = {struct.unpack('<H', b[8:10])[0] for b in bodies}
+        assert len(lanes) == 1, f'mixed lane counts in batch: {lanes}'
+        fused = self._get_fused(lanes.pop())
+        nH, nW = shape
+        return fused.decode_batch_to_device(
+            self.params, bodies, nH, nW, jnp.asarray(lmbs, jnp.float32))
+
+    def decompress_batch(self, strings):
+        return np.asarray(self.decompress_batch_to_device(strings),
+                          dtype=np.float32)
+
     def decompress(self, string):
         """(reference: qarv/model.py:531-557)"""
         assert self.compressing, 'call compress_mode() first'

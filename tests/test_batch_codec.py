@@ -1,0 +1,104 @@
+"""Batched serving codec (qarv/fused._build_codec_batch): B images in one
+unified executable — selfcheck bit-exactness, per-image lambda, escapes,
+and wire-format compatibility with the single-image container."""
+import struct
+
+import numpy as np
+import pytest
+
+import lvae_tpu
+
+
+@pytest.fixture(scope='module')
+def images():
+    rng = np.random.default_rng(11)
+    from scipy.ndimage import gaussian_filter
+    ims = []
+    for i in range(3):
+        im = gaussian_filter(rng.uniform(0, 1, (128, 128, 3)),
+                             sigma=(2 + i, 2 + i, 0))
+        im = (im - im.min()) / (im.max() - im.min() + 1e-9)
+        ims.append((np.round(im * 255) / 255).astype(np.float32))
+    return np.stack(ims)
+
+
+@pytest.fixture(scope='module')
+def qarv_model():
+    return lvae_tpu.get_model('qarv_tiny')
+
+
+def test_batch_roundtrip_bitexact_selfcheck(qarv_model, images):
+    """decode_batch must reproduce the encode-side reconstructions
+    bitwise (same executable, mode operand) — per-image lambdas."""
+    import jax.numpy as jnp
+    m = qarv_model
+    m.compress_mode(coder='fused')
+    lmbs = [64.0, 512.0, 2048.0]
+    bodies = m.compress_batch(images, lmb=lmbs)
+    assert len(bodies) == 3
+    # selfcheck: same program with want_image=1
+    lmbs_f32 = [struct.unpack('f', struct.pack('f', v))[0] for v in lmbs]
+    bodies2, recon = m._fused.encode_check_batch(
+        m.params, jnp.asarray(images), jnp.asarray(lmbs_f32, jnp.float32))
+    hdr = [struct.pack('f', lmbs_f32[b]) + struct.pack('3H', 1, 2, 2)
+           for b in range(3)]
+    assert [h + b2 for h, b2 in zip(hdr, bodies2)] == bodies  # deterministic
+    dec = np.asarray(m.decompress_batch(bodies))
+    assert dec.shape == (3, 128, 128, 3)
+    assert np.array_equal(dec, np.asarray(recon, np.float32))
+    # higher lambda -> no smaller stream (rate ordering sanity)
+    assert len(bodies[2]) >= len(bodies[0])
+
+
+def test_batch_streams_single_image_format(qarv_model, images):
+    """Each batch stream uses the standard single-image container: header
+    fields parse, lanes match, and stream sizes are plausible."""
+    m = qarv_model
+    m.compress_mode(coder='fused')
+    bodies = m.compress_batch(images, lmb=512)
+    n_words_all = []
+    for s in bodies:
+        lmb_v, = struct.unpack('f', s[:4])
+        nB, nH, nW = struct.unpack('3H', s[4:10])
+        n_words, n_esc, lanes = struct.unpack('<IIH', s[10:20])
+        assert (nB, nH, nW) == (1, 2, 2)
+        assert lanes == 128
+        assert lmb_v == struct.unpack('f', struct.pack('f', 512.0))[0]
+        n_words_all.append(n_words)
+        # body length consistent with its own header fields
+        assert s.endswith(s[-2 * n_words:] if n_words else b'')
+        assert len(s) >= 20 + 2 * n_words
+    # a tiny random-init model may legitimately emit zero renorm words at
+    # some rates (all information in the lane-state flush); the batch as a
+    # whole should still parse and decode (covered by the roundtrip test)
+    assert all(w >= 0 for w in n_words_all)
+
+
+def test_batch_roundtrip_with_escapes(images):
+    """Escape-coded symbols route through the per-image (B,EB) buffers."""
+    from tests.test_models_tiny import _inflate_posteriors
+    m = lvae_tpu.get_model('qarv_tiny')
+    m.params = _inflate_posteriors(m.params, 60.0)
+    m.compress_mode(coder='fused')
+    bodies = m.compress_batch(images[:2], lmb=1024)
+    n_esc = [struct.unpack('<IIH', s[10:20])[1] for s in bodies]
+    assert any(e > 0 for e in n_esc), 'escape path not exercised'
+    import jax.numpy as jnp
+    lmb = struct.unpack('f', struct.pack('f', 1024.0))[0]
+    _, recon = m._fused.encode_check_batch(
+        m.params, jnp.asarray(images[:2]),
+        jnp.asarray([lmb, lmb], jnp.float32))
+    dec = m.decompress_batch(bodies)
+    assert np.array_equal(np.asarray(dec), np.asarray(recon, np.float32))
+
+
+def test_batch_auto_lanes(images):
+    """num_lanes='auto' picks ONE lane count for the batch (max over the
+    per-image choices) and decode routes by the stream header."""
+    m = lvae_tpu.get_model('qarv_tiny')
+    m.compress_mode(coder='fused', num_lanes='auto')
+    bodies = m.compress_batch(images[:2], lmb=[16.0, 2048.0])
+    lanes = [struct.unpack('<IIH', s[10:20])[2] for s in bodies]
+    assert lanes == [128, 128]  # max(auto(16)=16, auto(2048)=128)
+    dec = m.decompress_batch(bodies)
+    assert np.asarray(dec).shape == (2, 128, 128, 3)
