@@ -57,7 +57,8 @@ def main():
     results = {'weights': 'trained-synth6k', 'lmb': lmb,
                'shape': [H, Wd]}
 
-    for B in (4, 8):
+    batches = tuple(int(v) for v in sys.argv[1:]) or (4, 8)
+    for B in batches:
         sub = jnp.asarray(ims[:B])
         np.asarray(sub[0, :1, :1, 0])        # device-resident input
         lmbs = [lmb] * B
@@ -94,8 +95,12 @@ def main():
             'bpp': round(bpp, 4)}
         print(json.dumps(results[f'B{B}']), flush=True)
 
-    (ROOT / 'runs' / 'batch-throughput-r3.json').write_text(
-        json.dumps(results, indent=2))
+    out = ROOT / 'runs' / 'batch-throughput-r3.json'
+    if out.is_file():                      # merge across invocations
+        prev = json.loads(out.read_text())
+        prev.update(results)
+        results = prev
+    out.write_text(json.dumps(results, indent=2))
     print(json.dumps(results), flush=True)
 
 
