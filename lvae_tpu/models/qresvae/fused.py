@@ -230,3 +230,197 @@ class FusedQresCodec(FusedCodecBase):
             return payload, image
 
         return jax.jit(prog)
+
+    # ------------------------------------------- batched serving program
+
+    def _build_codec_batch(self, imH, imW, B):
+        """Batch-B unified codec (see qarv/fused._build_codec_batch for the
+        design and the decode-with-the-same-binary rule). Covers the MSE
+        head AND the lossless NLL head — B images' pixel symbols are coded
+        through per-image kernel chains in one executable."""
+        net, N, cd = self.net, self.N, self.compute_dtype
+        nH, nW = imH // net.max_stride, imW // net.max_stride
+        sizes = self._block_sizes(nH, nW)
+        from lvae_tpu.models.qarv.model import _patch_escapes
+
+        blocks = list(net.dec_blocks)
+        last_latent = max(i for i, b in enumerate(blocks)
+                          if getattr(b, 'is_latent_block', False))
+        stop = len(blocks) if self.head_index_base is not None \
+            else last_latent + 1
+        offsets_np = self.offsets_np
+
+        def prog(params, im, mode, want_image, states, packed,
+                 esc_pos, esc_val):
+            is_dec = jnp.equal(mode, jnp.int32(self.MODE_DEC))
+            words_b = [self.unpack_words(packed[b]) for b in range(B)]
+
+            def _backbone():
+                x = net.preprocess_input(im if cd is None else im.astype(cd))
+                feats = {}   # last feature per resolution wins (ref parity)
+                for i, blk in enumerate(net.enc_blocks):
+                    bp = cast_tree(params.get(f'enc_blocks_{i}', {}), cd)
+                    x = blk.apply({'params': bp}, x) if bp else blk(x)
+                    feats[int(x.shape[1])] = x.astype(jnp.float32)
+                return tuple(feats.values())
+
+            bb_shapes = jax.eval_shape(_backbone)
+            feats = jax.lax.cond(
+                is_dec,
+                lambda: tuple(jnp.zeros(s.shape, s.dtype) for s in bb_shapes),
+                _backbone)
+            enc_features = {int(s.shape[1]): f
+                            for s, f in zip(bb_shapes, feats)}
+
+            bias = params['bias']
+            feature = _ob(jnp.broadcast_to(bias, (B, nH, nW, bias.shape[-1])))
+            st_b = tuple(states[b] for b in range(B))
+            pt_b = tuple(jnp.int32(0) for _ in range(B))
+            li = 0
+            gstart = 0
+            syms_flat, idx_flat = [], []       # per block: (B, nsym)
+            for k, blk in enumerate(blocks[:stop]):
+                bp = params.get(f'dec_blocks_{k}', {})
+                if getattr(blk, 'is_latent_block', False):
+                    f_mid, pm, indexes = self._prior(blk, bp, feature)
+                    nsym = sizes[li]
+                    T = max((nsym + N - 1) // N, 1)
+                    idx_i = indexes.reshape(B, -1).astype(jnp.int32)
+                    zshape1 = indexes.shape[1:]
+
+                    def _dec(carry, idx_i=idx_i, nsym=nsym,
+                             zshape1=zshape1, T=T, gs=gstart):
+                        st_b, pt_b = carry
+                        outs, st2, pt2 = [], [], []
+                        for b in range(B):
+                            idx_rows = jnp.pad(
+                                idx_i[b], (0, T * N - nsym)).reshape(T, N)
+                            syms_TN, st, p = prd.rans_decode_block(
+                                idx_rows, st_b[b], pt_b[b], words_b[b],
+                                self.cdfs, jnp.asarray(offsets_np),
+                                jnp.int32(nsym), num_lanes=N,
+                                interpret=self.interpret)
+                            z = syms_TN.reshape(-1)[:nsym].reshape(zshape1)
+                            z = _patch_escapes(z, esc_pos[b], esc_val[b],
+                                               jnp.int32(gs))
+                            outs.append(z)
+                            st2.append(st)
+                            pt2.append(p)
+                        return tuple(st2), tuple(pt2), jnp.stack(outs)
+
+                    def _dec_skip(carry, zshape1=zshape1):
+                        st_b, pt_b = carry
+                        return st_b, pt_b, jnp.zeros((B,) + zshape1,
+                                                     jnp.int32)
+
+                    st_b, pt_b, z_dec = jax.lax.cond(
+                        is_dec, _dec, _dec_skip, (st_b, pt_b))
+
+                    def _enc(blk=blk, bp=bp, f_mid=f_mid, pm=pm):
+                        qm = blk.apply({'params': bp}, f_mid,
+                                       enc_features[int(f_mid.shape[1])],
+                                       method='posterior_qm')
+                        return jnp.round(
+                            qm.astype(jnp.float32) -
+                            pm.astype(jnp.float32)).astype(jnp.int32)
+
+                    syms_enc = jax.lax.cond(
+                        is_dec,
+                        lambda zshape1=zshape1: jnp.zeros((B,) + zshape1,
+                                                          jnp.int32),
+                        _enc)
+                    syms = _ob(jnp.where(is_dec, z_dec, syms_enc))
+                    feature = self._fuse(blk, bp, f_mid, pm, syms)
+                    syms_flat.append(syms.reshape(B, -1))
+                    idx_flat.append(idx_i)
+                    gstart += nsym
+                    li += 1
+                else:
+                    feature = self._plain(blk, bp, feature)
+
+            if self.head_index_base is not None:
+                pm, plogv = net.apply(
+                    {'params': params}, feature.astype(jnp.float32),
+                    method=net.out_codec_tensors)
+                head_idx = ec.build_indexes(jnp.exp(plogv),
+                                            self.head_scale_table)
+                nsym = imH * imW * 3
+                T = (nsym + N - 1) // N
+                pshape1 = pm.shape[1:]
+
+                def _dec_head(carry, gs=gstart, T=T, nsym=nsym):
+                    st_b, pt_b = carry
+                    outs, st2, pt2 = [], [], []
+                    for b in range(B):
+                        idx_rows = jnp.pad(
+                            head_idx[b].reshape(-1).astype(jnp.int32),
+                            (0, T * N - nsym)).reshape(T, N)
+                        syms_TN, st, p = prd.rans_decode_block(
+                            idx_rows, st_b[b], pt_b[b], words_b[b],
+                            self.head_cdfs,
+                            jnp.asarray(self.head_offsets_np),
+                            jnp.int32(nsym), num_lanes=N,
+                            interpret=self.interpret)
+                        xs = syms_TN.reshape(-1)[:nsym].reshape(pshape1)
+                        outs.append(_patch_escapes(
+                            xs, esc_pos[b], esc_val[b], jnp.int32(gs)))
+                        st2.append(st)
+                        pt2.append(p)
+                    return tuple(st2), tuple(pt2), jnp.stack(outs)
+
+                def _dec_head_skip(carry):
+                    st_b, pt_b = carry
+                    return st_b, pt_b, jnp.zeros((B,) + pshape1, jnp.int32)
+
+                st_b, pt_b, xs_dec = jax.lax.cond(
+                    is_dec, _dec_head, _dec_head_skip, (st_b, pt_b))
+
+                def _enc_head():
+                    x = ((im.astype(jnp.float32) - 0.5) * 2.0) / \
+                        net.out_net.bin_size
+                    return jnp.round(x - pm).astype(jnp.int32)
+
+                xs_enc = jax.lax.cond(
+                    is_dec, lambda: jnp.zeros((B,) + pshape1, jnp.int32),
+                    _enc_head)
+                xs = _ob(jnp.where(is_dec, xs_dec, xs_enc))
+                syms_flat.append(xs.reshape(B, -1))
+                idx_flat.append((head_idx + self.head_index_base)
+                                .reshape(B, -1).astype(jnp.int32))
+
+            def _pack():
+                return jnp.stack([
+                    self.pack_payload([s[b] for s in syms_flat],
+                                      [ix[b] for ix in idx_flat])
+                    for b in range(B)])
+            pshape = jax.eval_shape(_pack)
+            payload = jax.lax.cond(
+                is_dec,
+                lambda: jnp.zeros(pshape.shape, pshape.dtype), _pack)
+
+            if self.head_index_base is not None:
+                def _img_head():
+                    x_hat = (xs.astype(jnp.float32) + pm) * \
+                        net.out_net.bin_size
+                    im_out = jnp.clip(x_hat, -1.0, 1.0) * 0.5 + 0.5
+                    return jnp.round(im_out * 255).astype(jnp.uint8)
+                image = jax.lax.cond(
+                    jnp.equal(want_image, jnp.int32(1)), _img_head,
+                    lambda: jnp.zeros((B, imH, imW, 3), jnp.uint8))
+                return payload, image
+
+            def _tail(feat):
+                for k2 in range(stop, len(blocks)):
+                    bp2 = params.get(f'dec_blocks_{k2}', {})
+                    feat = self._plain(blocks[k2], bp2, feat)
+                im_out = jnp.clip(feat.astype(jnp.float32),
+                                  -1.0, 1.0) * 0.5 + 0.5
+                return im_out.astype(jnp.float16)
+
+            image = jax.lax.cond(
+                jnp.equal(want_image, jnp.int32(1)), _tail,
+                lambda feat: jnp.zeros((B, imH, imW, 3), jnp.float16),
+                feature)
+            return payload, image
+
+        return jax.jit(prog)

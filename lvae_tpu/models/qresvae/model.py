@@ -824,6 +824,40 @@ class QresModel(VAEModelBase):
         """Fused decode returning the f16 image ON DEVICE (async)."""
         return self._fused.decode_to_device(self.params, body, fH, fW)
 
+    def compress_batch(self, ims):
+        """Batch serving encode: B same-shape images -> list of B
+        compressed objects in the single-image container layout
+        ([body, (1, nH, nW, width)]). One batch-B unified executable codes
+        all B images (incl. the lossless pixel head); decode the streams
+        with `decompress_batch` at the SAME batch size — the compiled
+        binary is part of the codec (see qarv/fused.py)."""
+        assert self.compressing, 'call compress_mode() first'
+        assert getattr(self, 'coder_kind', 'host') == 'fused', \
+            'compress_batch requires compress_mode(coder="fused")'
+        ims = to_nhwc_batch(ims)
+        self._check_input(ims)
+        nB, imH, imW, _ = ims.shape
+        nH = imH // self.net.max_stride
+        nW = imW // self.net.max_stride
+        bodies = self._fused.encode_batch(self.params, jnp.asarray(ims))
+        width = self.params['bias'].shape[-1]
+        return [[b, (1, nH, nW, width)] for b in bodies]
+
+    def decompress_batch_to_device(self, objs):
+        """Batch decode of compress_batch outputs; (B,H,W,3) ON DEVICE."""
+        assert self.compressing, 'call compress_mode() first'
+        shapes = {o[-1] for o in objs}
+        assert len(shapes) == 1, 'all batch streams must share one shape'
+        _, fH, fW, _ = shapes.pop()
+        return self._fused.decode_batch_to_device(
+            self.params, [o[0] for o in objs], fH, fW)
+
+    def decompress_batch(self, objs):
+        img = np.asarray(self.decompress_batch_to_device(objs))
+        if img.dtype == np.uint8:          # lossless head returns exact u8
+            return img.astype(np.float32) / 255.0
+        return img.astype(np.float32)
+
     def compress_file(self, img_path, output_path, pad_hw=None):
         """Compress an image file (pickle container + original h/w,
         reference: qresvae/model.py:689-707). pad_hw: optional (H, W)

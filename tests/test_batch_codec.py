@@ -102,3 +102,29 @@ def test_batch_auto_lanes(images):
     assert lanes == [128, 128]  # max(auto(16)=16, auto(2048)=128)
     dec = m.decompress_batch(bodies)
     assert np.asarray(dec).shape == (2, 128, 128, 3)
+
+
+def test_qres_batch_roundtrip(images):
+    """QRes batch serving: decode == encode-side recon bitwise."""
+    import jax.numpy as jnp
+    m = lvae_tpu.get_model('qres_tiny', lmb=128)
+    m.compress_mode(coder='fused')
+    objs = m.compress_batch(images[:2])
+    assert len(objs) == 2 and objs[0][1] == objs[1][1]
+    _, recon = m._fused.encode_check_batch(m.params, jnp.asarray(images[:2]))
+    dec = m.decompress_batch(objs)
+    assert np.array_equal(np.asarray(dec),
+                          np.asarray(recon, np.float32))
+
+
+def test_qres_lossless_batch_roundtrip(images):
+    """Lossless batch serving: B images' pixel symbols coded through
+    per-image kernel chains; reconstruction must be EXACT."""
+    m = lvae_tpu.get_model('qres_tiny_lossless')
+    m.compress_mode(coder='fused')
+    ims = images[:2]
+    objs = m.compress_batch(ims)
+    dec = np.asarray(m.decompress_batch(objs))
+    # lossless: exact uint8 round-trip of the pixel grid
+    assert np.array_equal(np.round(dec * 255).astype(np.uint8),
+                          np.round(ims * 255).astype(np.uint8))
