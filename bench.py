@@ -172,24 +172,61 @@ def main():
     # --------------- batched serving mode (qarv_base, batch 6) ------------
     # one batch-B unified executable: fixed dispatch/transfer costs
     # amortize over the batch (see STATUS.md batch table; B=6 is the
-    # per-chip sweet spot — B=8 hits an HBM cliff)
-    model.compress_mode(coder='fused', esc_cap=esc_cap)
+    # per-chip sweet spot — B=8 hits an HBM cliff). Measured per mode
+    # (f32 and backbone-only bf16, both bit-exact on hardware —
+    # runs/suite12-r3.json): (a) one-batch latency, (b) pipelined
+    # steady-state throughput — a serving loop dispatches batch k+1
+    # before finishing batch k (compress_batch_async/finish), hiding the
+    # host payload pull + stream glue behind device compute.
     Bsrv = 6
     ims_b = _jnp.asarray(np.concatenate([im] * Bsrv))
     np.asarray(ims_b[0, :1, :1, 0])
     lmbs = [lmb] * Bsrv
-    bodies = model.compress_batch(ims_b, lmb=lmbs)   # compile + warm
-    _ = model.decompress_batch_to_device(bodies)
-    be_t, bd_t = [], []
-    for _ in range(5):
+
+    def run_batch_mode():
+        bodies = model.compress_batch(ims_b, lmb=lmbs)   # compile + warm
+        _ = model.decompress_batch_to_device(bodies)
+        be_t, bd_t = [], []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            bodies = model.compress_batch(ims_b, lmb=lmbs)
+            t1 = time.perf_counter()
+            img_dev = model.decompress_batch_to_device(bodies)
+            np.asarray(img_dev[0, :1, :1, 0])
+            be_t.append(t1 - t0)
+            bd_t.append(time.perf_counter() - t1)
+        lat_ms = (_median_ms(be_t) + _median_ms(bd_t)) / Bsrv
+        # pipelined encode: one dispatch + one finish per loop iteration
+        K = 5
+        h = model.compress_batch_async(ims_b, lmb=lmbs)
         t0 = time.perf_counter()
-        bodies = model.compress_batch(ims_b, lmb=lmbs)
-        t1 = time.perf_counter()
-        img_dev = model.decompress_batch_to_device(bodies)
-        np.asarray(img_dev[0, :1, :1, 0])
-        be_t.append(t1 - t0)
-        bd_t.append(time.perf_counter() - t1)
-    batch_per_image_ms = (_median_ms(be_t) + _median_ms(bd_t)) / Bsrv
+        for _ in range(K):
+            h_next = model.compress_batch_async(ims_b, lmb=lmbs)
+            bodies = model.compress_batch_finish(h)
+            h = h_next
+        enc_pipe = (time.perf_counter() - t0) / K
+        bodies = model.compress_batch_finish(h)
+        # pipelined decode: dispatch batch k+1, then sync batch k (tiny
+        # fetch; images stay device-resident for the consumer)
+        img_prev = model.decompress_batch_to_device(bodies)
+        t0 = time.perf_counter()
+        for _ in range(K):
+            img_next = model.decompress_batch_to_device(bodies)
+            np.asarray(img_prev[0, :1, :1, 0])
+            img_prev = img_next
+        dec_pipe = (time.perf_counter() - t0) / K
+        np.asarray(img_prev[0, :1, :1, 0])
+        pipe_ms = (enc_pipe + dec_pipe) * 1e3 / Bsrv
+        return lat_ms, pipe_ms
+
+    model.compress_mode(coder='fused', esc_cap=esc_cap)
+    b_f32 = run_batch_mode()
+    model.compress_mode(coder='fused', esc_cap=esc_cap,
+                        compute_dtype='bfloat16')
+    b_bf16 = run_batch_mode()
+    batch_mode = 'bf16' if b_bf16[1] < b_f32[1] else 'f32'
+    b_best = b_bf16 if batch_mode == 'bf16' else b_f32
+    batch_per_image_ms, batch_pipe_ms = b_best
 
     # --------------- pure device forward (pipelined estimate) -------------
     import jax.numpy as jnp
@@ -242,8 +279,16 @@ def main():
             'fused_bpp_overhead': round(bpp_fused - bpp_host, 4),
             'device_forward_ms': round(fwd_ms, 3),
             # batched serving mode: B=6 images per unified executable,
-            # per-image enc+dec wall (bit-exact, see STATUS batch table)
+            # per-image enc+dec wall (bit-exact, see STATUS batch table);
+            # 'pipelined' = sustained serving loop (batch k+1 dispatched
+            # before batch k is finished — host glue hidden)
+            'batch6_mode': batch_mode,
             'batch6_encdec_ms_per_image': round(batch_per_image_ms, 3),
+            'batch6_pipelined_ms_per_image': round(batch_pipe_ms, 3),
+            'batch6_f32_ms_per_image': round(b_f32[0], 3),
+            'batch6_f32_pipelined_ms_per_image': round(b_f32[1], 3),
+            'batch6_bf16_ms_per_image': round(b_bf16[0], 3),
+            'batch6_bf16_pipelined_ms_per_image': round(b_bf16[1], 3),
             # second reference latency row (README.md:49-56, 199 ms GPU)
             'qres34m_encode_ms': round(_median_ms(qres_e), 3),
             'qres34m_decode_ms': round(_median_ms(qres_d), 3),

@@ -365,12 +365,30 @@ class FusedCodecBase:
         """Encode B same-shape images in ONE program invocation; all B
         payload prefixes arrive in ONE adaptive host pull. Returns a list
         of B single-image wire-format bodies."""
+        return self.encode_batch_finish(
+            self.encode_batch_async(params, ims, *extra))
+
+    def encode_batch_async(self, params, ims, *extra):
+        """Dispatch-only half of encode_batch: launches the batch-B codec
+        program and returns an opaque handle WITHOUT synchronizing. A
+        serving loop dispatches batch k+1 before calling
+        encode_batch_finish on batch k, so the host-side payload pull of
+        one batch (the runtime's fixed per-transfer cost + stream glue)
+        overlaps the device compute of the next — sustained throughput
+        approaches device-only speed. Same executable as encode_batch:
+        streams are byte-identical either way."""
         B, imH, imW, _ = ims.shape
         d = self._dummies_b(imH, imW, B)
         payload, _ = self._codec_b(imH, imW, B)(
             params, ims, d['enc'], d['off'], d['states'], d['packed'],
             d['esc_pos'], d['esc_val'], *extra)
-        return self._payloads_to_bytes(payload, (imH, imW, B))
+        return payload, (imH, imW, B)
+
+    def encode_batch_finish(self, handle):
+        """Synchronizing half of encode_batch_async: pulls the payload
+        prefixes (ONE bulk fetch) and assembles the B wire-format bodies."""
+        payload, key = handle
+        return self._payloads_to_bytes(payload, key)
 
     def encode_check_batch(self, params, ims, *extra):
         """Batch self-check encode: also returns the images reconstructed

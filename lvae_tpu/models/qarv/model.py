@@ -904,20 +904,11 @@ class QarvModel(VAEModelBase):
         out += coding.pack_escapes(escapes[:, 0], escapes[:, 1])
         return out
 
-    def compress_batch(self, ims, lmb=None):
-        """Batch serving encode: B same-shape images -> list of B byte
-        bodies in the standard single-image container format. The
-        backbone/trunk convs run BATCHED on the MXU and all B payloads
-        arrive in one host pull, so per-image wall time amortizes the
-        runtime's fixed dispatch/transfer costs (no reference counterpart —
-        the reference codes one image at a time through its CPU coder).
-
-        lmb may be a scalar or a length-B sequence (per-image rate targets
-        in one batch — the lambda embedding is per-image anyway). Streams
-        must be decoded by `decompress_batch` at the SAME batch size: like
-        every fused codec here, the compiled executable is part of the
-        codec (f32 trunk numerics are only bit-stable within one binary —
-        see qarv/fused.py)."""
+    def compress_batch_async(self, ims, lmb=None):
+        """Dispatch-only half of compress_batch: launches the batch-B
+        program and returns an opaque handle (no synchronization). Pair
+        with compress_batch_finish; see that method for the serving-loop
+        overlap pattern. Accepts the same (ims, lmb) as compress_batch."""
         assert self.compressing, 'call compress_mode() first'
         assert getattr(self, 'coder_kind', 'host') == 'fused', \
             'compress_batch requires compress_mode(coder="fused")'
@@ -935,11 +926,38 @@ class QarvModel(VAEModelBase):
             # max over the per-image choices keeps high-rate latency
             self._fused = self._get_fused(
                 max(self._auto_lanes(v) for v in lmbs))
-        bodies = self._fused.encode_batch(
+        fused = self._fused
+        handle = fused.encode_batch_async(
             self.params, jnp.asarray(ims),
             jnp.asarray(lmbs, jnp.float32))
+        return fused, handle, lmbs, nH, nW
+
+    def compress_batch(self, ims, lmb=None):
+        """Batch serving encode: B same-shape images -> list of B byte
+        bodies in the standard single-image container format. The
+        backbone/trunk convs run BATCHED on the MXU and all B payloads
+        arrive in one host pull, so per-image wall time amortizes the
+        runtime's fixed dispatch/transfer costs (no reference counterpart —
+        the reference codes one image at a time through its CPU coder).
+
+        lmb may be a scalar or a length-B sequence (per-image rate targets
+        in one batch — the lambda embedding is per-image anyway). Streams
+        must be decoded by `decompress_batch` at the SAME batch size: like
+        every fused codec here, the compiled executable is part of the
+        codec (f32 trunk numerics are only bit-stable within one binary —
+        see qarv/fused.py)."""
+        return self.compress_batch_finish(
+            self.compress_batch_async(ims, lmb=lmb))
+
+    def compress_batch_finish(self, handle):
+        """Synchronize a compress_batch_async dispatch: pull the payloads
+        (one bulk fetch) and return the B byte bodies. A serving loop calls
+        compress_batch_async for batch k+1 BEFORE finishing batch k, hiding
+        the host pull + stream assembly behind device compute."""
+        fused, fhandle, lmbs, nH, nW = handle
+        bodies = fused.encode_batch_finish(fhandle)
         return [struct.pack('f', lmbs[b]) + struct.pack('3H', 1, nH, nW)
-                + bodies[b] for b in range(nB)]
+                + bodies[b] for b in range(len(bodies))]
 
     def decompress_batch_to_device(self, strings):
         """Batch decode of `compress_batch` outputs; returns (B,H,W,3) f16

@@ -831,6 +831,13 @@ class QresModel(VAEModelBase):
         all B images (incl. the lossless pixel head); decode the streams
         with `decompress_batch` at the SAME batch size — the compiled
         binary is part of the codec (see qarv/fused.py)."""
+        return self.compress_batch_finish(self.compress_batch_async(ims))
+
+    def compress_batch_async(self, ims):
+        """Dispatch-only half of compress_batch (no synchronization);
+        pair with compress_batch_finish — a serving loop dispatches batch
+        k+1 before finishing batch k so the host payload pull overlaps
+        device compute."""
         assert self.compressing, 'call compress_mode() first'
         assert getattr(self, 'coder_kind', 'host') == 'fused', \
             'compress_batch requires compress_mode(coder="fused")'
@@ -839,7 +846,15 @@ class QresModel(VAEModelBase):
         nB, imH, imW, _ = ims.shape
         nH = imH // self.net.max_stride
         nW = imW // self.net.max_stride
-        bodies = self._fused.encode_batch(self.params, jnp.asarray(ims))
+        fused = self._fused
+        fhandle = fused.encode_batch_async(self.params, jnp.asarray(ims))
+        return fused, fhandle, nH, nW
+
+    def compress_batch_finish(self, handle):
+        """Synchronize a compress_batch_async dispatch: pull the payloads
+        (one bulk fetch) and return the B compressed objects."""
+        fused, fhandle, nH, nW = handle
+        bodies = fused.encode_batch_finish(fhandle)
         width = self.params['bias'].shape[-1]
         return [[b, (1, nH, nW, width)] for b in bodies]
 

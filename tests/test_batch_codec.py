@@ -117,6 +117,21 @@ def test_qres_batch_roundtrip(images):
                           np.asarray(recon, np.float32))
 
 
+def test_batch_pipelined_encode_identical(qarv_model, images):
+    """Serving-loop overlap pattern: dispatching batch k+1 before
+    finishing batch k (compress_batch_async/finish) must produce streams
+    byte-identical to the sequential compress_batch — same executable,
+    the split only reorders host-side synchronization."""
+    m = qarv_model
+    m.compress_mode(coder='fused')
+    batches = [images, images[::-1].copy()]
+    seq = [m.compress_batch(b, lmb=512) for b in batches]
+    # pipelined: all dispatches in flight before the first finish
+    handles = [m.compress_batch_async(b, lmb=512) for b in batches]
+    pipelined = [m.compress_batch_finish(h) for h in handles]
+    assert pipelined == seq
+
+
 def test_qres_lossless_batch_roundtrip(images):
     """Lossless batch serving: B images' pixel symbols coded through
     per-image kernel chains; reconstruction must be EXACT."""
