@@ -237,6 +237,166 @@ def rans_encode_all(syms, indexes, row_n, cdfs, num_lanes=128,
     return words, end[0], states
 
 
+def _encode_kernel_multi(end_in_ref, row_n_ref,           # scalar prefetch
+                         states_in_ref, *refs, N, T, B, W_cap):
+    """B-image variant of _encode_kernel: the per-lane state chains of B
+    same-shape images are independent, so ALL the state math (renorm
+    flags, the ~45-op exact divmod, state updates) runs stacked as (B,N)
+    on the VPU's sublane dimension — one instruction stream drives B
+    images (the single-image kernel uses 1 of 8 sublanes per op). Only
+    the word scatters are inherently per-image: each image keeps its own
+    2048-word window into its region of ONE 1-D word buffer (per-image
+    region at b*W_cap — 2-D refs would make the window slice a minor-dim
+    dynamic slice, which TPU tiling does not support; 1-D slices stay
+    1024-aligned). (start|freq<<16) arrive packed in one int32 ref per
+    image (halves VMEM vs separate tables: B=2 fits the ~16 MB budget).
+    Word/state outputs are byte-identical to B runs of _encode_kernel:
+    every arithmetic op per image is the same exact int32/f32 op."""
+    sf_refs = refs[:B]
+    words_ref, states_out_ref, end_out_ref = refs[B:]
+
+    lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)         # (1,N)
+    crow16 = jax.lax.broadcasted_iota(jnp.int32, (16, N), 0)          # (16,N)
+    wcol = jax.lax.broadcasted_iota(jnp.int32, (N, 128), 1)           # (N,128)
+    tri_desc = (jax.lax.broadcasted_iota(jnp.int32, (N, N), 0) >
+                jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)).astype(jnp.float32)
+
+    TB = (T + _KROWS - 1) // _KROWS
+
+    def body(i, carry):
+        states = carry[0]                                              # (B,N)
+        ptrs = list(carry[1:])                                   # B scalars
+        bases = [pl.multiple_of((p // 1024) * 1024, 1024) for p in ptrs]
+        locs = [p - b for p, b in zip(ptrs, bases)]
+        add_lo = [jnp.zeros((16, 128), jnp.float32) for _ in range(B)]
+        add_hi = [jnp.zeros((16, 128), jnp.float32) for _ in range(B)]
+        c_tot = [jnp.int32(0) for _ in range(B)]
+
+        for k in range(_KROWS):                           # unrolled sub-rows
+            t = T - 1 - (i * _KROWS + k)                               # reverse
+            tt = jnp.maximum(t, 0)
+            active = jnp.logical_and(lane_row < row_n_ref[tt], t >= 0)  # (1,N)
+            sf = jnp.concatenate(
+                [sf_refs[b][tt, :].reshape(1, N) for b in range(B)], axis=0)
+            start = sf & MASK16                                        # (B,N)
+            freq = _srl(sf, 16) & MASK16
+            freq = jnp.where(active, freq, 1)
+
+            st = states
+            flags = jnp.logical_and(_srl(st, 16) >= freq, active)      # (B,N)
+            flags_f = flags.astype(jnp.float32)
+            flags_i = flags.astype(jnp.int32)
+            rank = jnp.dot(flags_f, tri_desc,
+                           preferred_element_type=jnp.float32).astype(jnp.int32)
+            word = jnp.where(flags, st & MASK16, 0)                    # (B,N)
+
+            for b in range(B):                        # per-image word scatter
+                c_b = jnp.sum(flags_i[b:b + 1, :])
+                target = locs[b] + rank[b:b + 1, :]                    # (1,N)
+                sel_c_f = ((target // 128 == crow16).astype(jnp.float32) *
+                           flags_f[b:b + 1, :])                        # (16,N)
+                within_c = (target - (target // 128) * 128).reshape(N, 1)
+                in_f = (within_c == wcol).astype(jnp.float32)          # (N,128)
+                w_lo = (word[b:b + 1, :] & 255).astype(
+                    jnp.float32).reshape(N, 1)
+                w_hi = _srl(word[b:b + 1, :], 8).astype(
+                    jnp.float32).reshape(N, 1)
+                add_lo[b] = add_lo[b] + jnp.dot(
+                    sel_c_f, in_f * w_lo, preferred_element_type=jnp.float32)
+                add_hi[b] = add_hi[b] + jnp.dot(
+                    sel_c_f, in_f * w_hi, preferred_element_type=jnp.float32)
+                locs[b] = locs[b] + c_b
+                c_tot[b] = c_tot[b] + c_b
+
+            st = jnp.where(flags, _srl(st, 16), st)
+            q, r = _exact_divmod_u32(st, freq)         # (B,N) — shared chain
+            new_st = (q << 16) | (r + start)
+            states = jnp.where(active, new_st, states)
+
+        for b in range(B):
+            @pl.when(c_tot[b] > 0)
+            def write_words(b=b):
+                add = (add_hi[b].astype(jnp.int32) * 256 +
+                       add_lo[b].astype(jnp.int32))
+                off = b * W_cap + bases[b]
+                cur = words_ref[pl.ds(off, 2048)].reshape(16, 128)
+                words_ref[pl.ds(off, 2048)] = (cur + add).reshape(2048)
+
+        return (states,) + tuple(p + c for p, c in zip(ptrs, c_tot))
+
+    def zero_chunk(i, _):
+        words_ref[pl.ds(pl.multiple_of(i * 2048, 1024), 2048)] = \
+            jnp.zeros((2048,), jnp.int32)
+        return 0
+    jax.lax.fori_loop(0, (B * W_cap) // 2048, zero_chunk, 0)
+
+    states0 = states_in_ref[:].reshape(B, N)
+    out = jax.lax.fori_loop(0, TB, body,
+                            (states0,) + (jnp.int32(0),) * B)
+    states_out_ref[:] = out[0].reshape(states_out_ref.shape)
+    for b in range(B):
+        end_out_ref[b] = out[1 + b]
+
+
+@functools.partial(jax.jit, static_argnames=('num_lanes', 'w_cap', 'interpret'))
+def rans_encode_all_multi(syms, indexes, row_n, cdfs, num_lanes=128,
+                          w_cap=None, interpret=False):
+    """Encode B same-layout images' symbol rows in ONE kernel pass (see
+    _encode_kernel_multi). Streams are byte-identical to B independent
+    rans_encode_all calls (tests/test_rans_encode_kernel.py).
+
+    Args:
+        syms:    (B, T, N) int32 in-band symbols (per image, same row
+                 layout: the batch codec guarantees same image shape)
+        indexes: (B, T, N) int32 scale indexes
+        row_n:   (T,) int32 active lanes per row (shared across images)
+        cdfs:    (S, L) int32 sentinel-padded CDF rows
+    Returns:
+        (words (B, W) int32 — image b's stream is REVERSE(words[b,:n_b]),
+         n_words (B,) int32, states (B, N) int32)
+    VMEM note: per image, the packed (start|freq) table + word region cost
+    2 * T * N * 4 bytes; B=2 at the qarv_base 512x768 layout is ~10 MB —
+    near the ~16 MB/core budget, so B is expected to be 2 (pairs).
+    """
+    B, T, N = syms.shape
+    S, L = cdfs.shape
+    assert N == num_lanes
+    assert _KROWS * N <= 1024, f'num_lanes {N} > {1024 // _KROWS} unsupported'
+    if w_cap is None:
+        w_cap = T * N
+    W_cap = ((w_cap + 2047) // 2048) * 2048 + 2048
+    states0 = jnp.full((B, N), 1 << 16, jnp.int32)
+
+    nxt = jnp.concatenate([cdfs[:, 1:], cdfs[:, -1:]], axis=1)
+    packed_tab = (cdfs & MASK16) | ((nxt - cdfs) << 16)
+    sf = packed_tab[indexes, syms]                                  # (B,T,N)
+
+    kernel = functools.partial(_encode_kernel_multi, N=N, T=T, B=B,
+                               W_cap=W_cap)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + B),
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # words buffer (B*W,)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # states out
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # end out (B,)
+        ],
+    )
+    words, states, end = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B * W_cap,), jnp.int32),
+            jax.ShapeDtypeStruct((B, N), jnp.int32),
+            jax.ShapeDtypeStruct((B,), jnp.int32),
+        ],
+        interpret=interpret,
+    )(jnp.asarray([0], jnp.int32), jnp.asarray(row_n, jnp.int32),
+      states0, *[sf[b] for b in range(B)])
+    return words.reshape(B, W_cap), end, states
+
+
 def blocks_to_rows(values_per_block, indexes_per_block, N):
     """Host-side helper (oracle/tests): lay out per-block flat symbol arrays
     as (T, N) rows with per-block lane restart, returning

@@ -85,6 +85,44 @@ def test_encode_kernel_roundtrip(table):
         assert np.array_equal(v, o)
 
 
+@pytest.mark.parametrize('B,sizes,esc_rate,N', [
+    (2, [300, 7, 129], 0.02, 128),
+    (2, [1000, 999, 128, 1], 0.01, 128),
+    (3, [256, 256], 0.0, 128),
+    (2, [300, 7, 129], 0.02, 32),
+])
+def test_encode_kernel_multi_matches_single(table, B, sizes, esc_rate, N):
+    """The B-image kernel must emit byte-identical words/states to B
+    independent single-image kernel runs (and hence to the oracle):
+    the state math is the same exact ops, just sublane-stacked."""
+    cdfs_d, _ = prd.prepare_device_cdf(table)
+    per_image = []
+    for b in range(B):
+        rng = np.random.default_rng(100 * b + sum(sizes))
+        vals, idxs = _random_blocks(rng, sizes, esc_rate)
+        sym_rows, idx_rows, row_n = pre.blocks_to_rows(vals, idxs, N)
+        inband, _ = pre.prepare_inband(jnp.asarray(sym_rows),
+                                       jnp.asarray(idx_rows),
+                                       table.offsets, table.cdf_lengths)
+        per_image.append((np.asarray(inband), idx_rows, row_n))
+    row_n = per_image[0][2]
+    syms_b = jnp.asarray(np.stack([p[0] for p in per_image]))
+    idx_b = jnp.asarray(np.stack([p[1] for p in per_image]))
+    words_b, n_b, states_b = pre.rans_encode_all_multi(
+        syms_b, idx_b, row_n, jnp.asarray(cdfs_d), num_lanes=N,
+        interpret=True)
+    for b in range(B):
+        buf1, n1, st1 = pre.rans_encode_all(
+            syms_b[b], idx_b[b], row_n, jnp.asarray(cdfs_d),
+            num_lanes=N, interpret=True)
+        n1 = int(n1)
+        assert int(n_b[b]) == n1
+        assert np.array_equal(np.asarray(words_b[b])[:n1],
+                              np.asarray(buf1)[:n1])
+        assert np.array_equal(np.asarray(states_b[b]),
+                              np.asarray(st1).reshape(-1))
+
+
 def test_prepare_inband_escape_extraction(table):
     """prepare_inband's escape mask marks exactly the oracle's escapes."""
     rng = np.random.default_rng(3)
