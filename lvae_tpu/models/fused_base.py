@@ -544,3 +544,113 @@ class FusedCodecBase:
         body = jax.lax.dynamic_update_slice(
             body, esc_pairs, ((n_words + 1) // 2,))
         return jnp.concatenate([head, body])
+
+    # VMEM budget for grouping images into one encode-kernel call: each
+    # image's packed (start|freq) table + word buffer must sit in VMEM
+    # (~16 MB/core on v5e); leave slack for the kernel's working set.
+    _ENC_VMEM_BUDGET = 12 * 1024 * 1024
+    _ENC_GROUP_MAX = 4
+
+    def pack_payload_batch(self, syms_flat, idx_flat):
+        """Batch encode tail: pack_payload for B images in one pass.
+
+        syms_flat/idx_flat: lists (one per latent block, decode order) of
+        (B, nsym_block) int32 arrays — every image shares the block/row
+        layout (the batch codec guarantees equal image shapes). Returns
+        (B, P) payload rows, each byte-identical to pack_payload run on
+        that image's symbols alone (all-integer math; the kernel identity
+        is tested in tests/test_rans_encode_kernel.py).
+
+        Two wins over B pack_payload calls (the batch-6 profile's largest
+        encode term, runs/batch-profile-r3.txt): the escape handling /
+        row layout / word packing become single (B, ...) XLA ops, and the
+        B inherently-serial rANS state chains run STACKED on the VPU
+        sublane dimension in groups sized to the VMEM budget
+        (rans_encode_all_multi) — G images per kernel cost ~one image's
+        iteration count instead of G."""
+        from lvae_tpu.ops.pallas import rans_encode as pre
+        N, esc_cap = self.N, self.esc_cap
+        B = int(syms_flat[0].shape[0])
+        offsets = jnp.asarray(self.enc_offsets_np)
+        lengths = jnp.asarray(self.enc_lengths_np)
+        values = jnp.concatenate(syms_flat, axis=1)              # (B, total)
+        idx_all = jnp.concatenate(idx_flat, axis=1)
+        inband, esc_mask = pre.prepare_inband(values, idx_all,
+                                              offsets, lengths)
+
+        mask_i = esc_mask.astype(jnp.int32)
+        n_esc_true = jnp.sum(mask_i, axis=1)                     # (B,)
+        rank = jnp.cumsum(mask_i, axis=1) - 1
+        slot = jnp.where(esc_mask, rank, esc_cap)
+        pos_iota = jnp.broadcast_to(
+            jnp.arange(values.shape[1], dtype=jnp.int32), values.shape)
+        rows_b = jnp.broadcast_to(
+            jnp.arange(B, dtype=jnp.int32)[:, None], slot.shape)
+        esc_pos = jnp.full((B, esc_cap), -1, jnp.int32).at[
+            rows_b, slot].set(pos_iota, mode='drop')
+        esc_val = jnp.where(
+            esc_pos >= 0,
+            jnp.take_along_axis(values, jnp.clip(esc_pos, 0, None), axis=1),
+            0)
+
+        sym_rows, idx_rows, row_ns = [], [], []
+        off = 0
+        for s in [v.shape[1] for v in syms_flat]:
+            Tb = max((s + N - 1) // N, 1)
+            pad = Tb * N - s
+            sym_rows.append(jnp.pad(
+                jax.lax.dynamic_slice_in_dim(inband, off, s, axis=1),
+                ((0, 0), (0, pad))).reshape(B, Tb, N))
+            idx_rows.append(jnp.pad(
+                jax.lax.dynamic_slice_in_dim(idx_all, off, s, axis=1),
+                ((0, 0), (0, pad))).reshape(B, Tb, N))
+            rn = np.full(Tb, N, np.int32)
+            rn[-1] = s - (Tb - 1) * N
+            row_ns.append(rn)
+            off += s
+        syms_b = jnp.concatenate(sym_rows, axis=1)               # (B, T, N)
+        idx_b = jnp.concatenate(idx_rows, axis=1)
+        row_n = np.concatenate(row_ns)
+        T = syms_b.shape[1]
+
+        per_image = 8 * T * N                     # sf table + word buffer
+        group = max(1, min(self._ENC_GROUP_MAX,
+                           self._ENC_VMEM_BUDGET // max(per_image, 1)))
+        bufs, nws, sts = [], [], []
+        b0 = 0
+        while b0 < B:
+            g = min(group, B - b0)
+            if g == 1:
+                buf, nw, st = pre.rans_encode_all(
+                    syms_b[b0], idx_b[b0], row_n, self.enc_cdfs,
+                    num_lanes=N, interpret=self.interpret)
+                bufs.append(buf[None])
+                nws.append(nw[None])
+                sts.append(st.reshape(1, N))
+            else:
+                w, nw, st = pre.rans_encode_all_multi(
+                    syms_b[b0:b0 + g], idx_b[b0:b0 + g], row_n,
+                    self.enc_cdfs, num_lanes=N, interpret=self.interpret)
+                bufs.append(w)
+                nws.append(nw)
+                sts.append(st)
+            b0 += g
+        words_all = jnp.concatenate(bufs, axis=0)              # (B, W_cap)
+        n_words = jnp.concatenate(nws)                         # (B,)
+        states = jnp.concatenate(sts, axis=0)                  # (B, N)
+
+        half = words_all.shape[1] // 2
+        packed = (words_all[:, 0::2][:, :half] & 0xFFFF) | \
+                 ((words_all[:, 1::2][:, :half] & 0xFFFF) << 16)
+        esc_pairs = jnp.stack([esc_pos, esc_val], axis=2).reshape(B, -1)
+        payloads = []
+        for b in range(B):
+            head = jnp.concatenate([
+                jnp.stack([n_words[b], n_esc_true[b], jnp.int32(N)]),
+                states[b]])
+            body = jnp.concatenate([
+                packed[b], jnp.zeros(esc_pairs.shape[1], jnp.int32)])
+            body = jax.lax.dynamic_update_slice(
+                body, esc_pairs[b], ((n_words[b] + 1) // 2,))
+            payloads.append(jnp.concatenate([head, body]))
+        return jnp.stack(payloads)

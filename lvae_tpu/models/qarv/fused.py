@@ -364,12 +364,10 @@ class FusedQarvCodec(FusedCodecBase):
                 else:
                     feature = self._plain(blk, bp, feature, emb_c)
 
-            # encode-only: per-image rANS encode kernel + payload assembly
+            # encode-only: batched escape/layout ops + grouped multi-image
+            # rANS encode kernels (sublane-stacked state chains)
             def _pack():
-                return jnp.stack([
-                    self.pack_payload([s[b] for s in syms_flat],
-                                      [ix[b] for ix in idx_flat])
-                    for b in range(B)])
+                return self.pack_payload_batch(syms_flat, idx_flat)
             pshape = jax.eval_shape(_pack)
             payload = jax.lax.cond(
                 is_dec,

@@ -389,10 +389,7 @@ class FusedQresCodec(FusedCodecBase):
                                 .reshape(B, -1).astype(jnp.int32))
 
             def _pack():
-                return jnp.stack([
-                    self.pack_payload([s[b] for s in syms_flat],
-                                      [ix[b] for ix in idx_flat])
-                    for b in range(B)])
+                return self.pack_payload_batch(syms_flat, idx_flat)
             pshape = jax.eval_shape(_pack)
             payload = jax.lax.cond(
                 is_dec,

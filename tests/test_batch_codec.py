@@ -132,6 +132,29 @@ def test_batch_pipelined_encode_identical(qarv_model, images):
     assert pipelined == seq
 
 
+def test_pack_payload_batch_matches_single(qarv_model):
+    """The batched encode tail (grouped multi-image kernels + (B,...)
+    escape/layout ops) must emit payload rows byte-identical to
+    pack_payload run per image: all-integer math, same kernel ops."""
+    import jax.numpy as jnp
+    f = qarv_model._fused
+    rng = np.random.default_rng(7)
+    B, sizes = 3, [257, 64, 5]
+    S = len(f.enc_offsets_np)
+    syms_flat, idx_flat = [], []
+    for s in sizes:
+        idx = rng.integers(0, S, (B, s)).astype(np.int32)
+        # values spanning in-band and escape ranges
+        val = rng.integers(-4, 12, (B, s)).astype(np.int32)
+        syms_flat.append(jnp.asarray(val))
+        idx_flat.append(jnp.asarray(idx))
+    batch = np.asarray(f.pack_payload_batch(syms_flat, idx_flat))
+    for b in range(B):
+        single = np.asarray(f.pack_payload(
+            [s[b] for s in syms_flat], [ix[b] for ix in idx_flat]))
+        assert np.array_equal(batch[b], single), f'image {b} differs'
+
+
 def test_qres_lossless_batch_roundtrip(images):
     """Lossless batch serving: B images' pixel symbols coded through
     per-image kernel chains; reconstruction must be EXACT."""
