@@ -183,9 +183,11 @@ def phase_a(np, jnp, model):
           '---', flush=True)
     ims = make_images(8, 512, 768)
     results = {}
-    for mode, cd in (('f32', None), ('bf16', 'bfloat16')):
+    # headline configs first (B=6 is the per-chip pick; B=8 is a known
+    # HBM cliff — suite12 — and each config is a fresh encode compile)
+    for mode, cd in (('bf16', 'bfloat16'), ('f32', None)):
         model.compress_mode(coder='fused', esc_cap=8192, compute_dtype=cd)
-        for B in (2, 4, 6, 8):
+        for B in (6, 4, 2):
             sub = jnp.asarray(ims[:B])
             np.asarray(sub[0, :1, :1, 0])
             lmbs = [512.0] * B
@@ -309,7 +311,12 @@ def phase_c(np, jnp, model):
 def main():
     phases = sys.argv[1] if len(sys.argv) > 1 else 'KABC'
     import numpy as np
+    import jax
     import jax.numpy as jnp
+    cache = os.path.expanduser('~/.cache/lvae_tpu_jax')
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update('jax_compilation_cache_dir', cache)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
     out = {}
     t00 = time.time()
     print(f'device: {__import__("jax").devices()}', flush=True)
