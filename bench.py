@@ -16,22 +16,92 @@ times GPU-resident decode output with cuda.synchronize
 The full image pull is reported separately (this environment's TPU tunnel
 moves ~50 MB/s with a 27 ms floor; PCIe hosts pay ~0.3 ms for the same).
 
-Prints ONE JSON line:
+Robustness (round-4 rework after BENCH_r03 rc=124): the benchmark runs
+under a wall-clock budget (env BENCH_BUDGET_S, default 1200 s). Sections
+run in priority order — fused f32 single-image first, which alone yields
+the headline — each updating a shared snapshot; lower-priority sections
+are skipped when the remaining budget can't cover their estimated cost,
+and a daemon watchdog force-prints the current snapshot and exits if the
+main thread is still blocked (e.g. in a tunnel fetch) at the deadline.
+Weights load from the COMMITTED float16 checkpoint
+(checkpoints/qarv_base_synth6k_ema_f16.msgpack) so a clean checkout never
+falls back to random-init (whose pathological 283k-word streams compiled
+for 150-380 s per program — the r3 timeout).
+
+Prints ONE JSON line on stdout:
   {"metric": "qarv_base_encdec_latency", "value": <ms>, "unit": "ms",
    "vs_baseline": <baseline_ms / ours_ms>}  (vs_baseline > 1 means faster)
+Progress notes go to stderr prefixed '# bench:' (never JSON-shaped).
 """
 import json
+import os
 import struct
+import sys
+import threading
 import time
 
 import numpy as np
 
 
 BASELINE_MS = 159.0  # RTX 3080 Ti enc+dec, reference README.md:49-56
+T_START = time.monotonic()
+BUDGET_S = float(os.environ.get('BENCH_BUDGET_S', '1200'))
+
+# Committed trained operating point (round-2/3 synthetic 6k-step qarv_base
+# EMA, float16-quantized — rate/PSNR-identical to the f32 export, see
+# scripts/quantize-weights.py). A trained point gives ~0.5 bpp streams and
+# ZERO escape symbols; random init is only a last-resort fallback.
+TRAINED_WEIGHTS = (
+    'checkpoints/qarv_base_synth6k_ema_f16.msgpack',  # committed to git
+    'runs/qarv_base_synth6k_ema.msgpack',             # local f32 export
+)
+
+_snapshot_lock = threading.Lock()
+_snapshot = {'metric': 'qarv_base_encdec_latency', 'value': None,
+             'unit': 'ms', 'vs_baseline': None, 'detail': {}}
+_printed = False
+
+
+def _note(msg):
+    print(f'# bench: [{time.monotonic() - T_START:7.1f}s] {msg}',
+          file=sys.stderr, flush=True)
+
+
+def _remaining():
+    return BUDGET_S - (time.monotonic() - T_START)
+
+
+def _update(headline_ms=None, **detail):
+    with _snapshot_lock:
+        if headline_ms is not None:
+            _snapshot['value'] = round(headline_ms, 3)
+            _snapshot['vs_baseline'] = round(BASELINE_MS / headline_ms, 3)
+        _snapshot['detail'].update({
+            k: (round(v, 4) if isinstance(v, float) else v)
+            for k, v in detail.items()})
+
+
+def _print_final(tag):
+    global _printed
+    with _snapshot_lock:
+        if _printed:
+            return
+        _printed = True
+        _snapshot['detail']['completed'] = tag
+        print(json.dumps(_snapshot), flush=True)
+
+
+def _watchdog():
+    # Force a parseable result even if the main thread is wedged in a
+    # tunnel fetch at the deadline. os._exit skips atexit/flush races.
+    time.sleep(max(BUDGET_S - (time.monotonic() - T_START), 1.0) + 20.0)
+    _note('WATCHDOG fired — printing partial snapshot')
+    _print_final('watchdog-partial')
+    sys.stdout.flush()
+    os._exit(0)
 
 
 def _enable_compile_cache():
-    import os
     import jax
     if os.environ.get('LVAE_TPU_NO_CACHE'):
         return
@@ -49,7 +119,6 @@ def _measure_fused(model, im_dev, lmb, n_iter):
     """Time the fused codec: encode until stream bytes on host, decode
     until the image is materialized on device + sync (reference
     methodology, see module docstring)."""
-    import numpy as np
     bits = model.compress(im_dev, lmb=lmb)   # compile + prepay first fetch
     _ = model.decompress(bits)               # compile decode + image pull
     enc_t, dec_t, pull_t = [], [], []
@@ -75,26 +144,30 @@ def _measure_fused(model, im_dev, lmb, n_iter):
             'bpp': len(bits) * 8 / (H * W)}
 
 
-# Trained weights (round-2 synthetic 6k-step qarv_base run) give the
-# realistic operating point: ~0.5 bpp streams and ZERO escape symbols.
-# Falls back to random init (pathological rates/escapes) when absent.
-TRAINED_WEIGHTS = 'runs/qarv_base_synth6k_ema.msgpack'
-
-
 def main():
-    import os
     import jax
     _enable_compile_cache()
+    threading.Thread(target=_watchdog, daemon=True).start()
     import lvae_tpu
+    import jax.numpy as jnp
+
+    # Prepay the per-process first-device-fetch tunnel stall CONCURRENTLY
+    # with weight loading / host setup (it has been observed at minutes).
+    def _prepay():
+        t0 = time.monotonic()
+        np.asarray(jnp.zeros((8,)))
+        _note(f'first device fetch done in {time.monotonic() - t0:.1f}s')
+    warm = threading.Thread(target=_prepay, daemon=True)
+    warm.start()
 
     model = lvae_tpu.get_model('qarv_base')
-    trained = os.path.isfile(TRAINED_WEIGHTS)
-    if trained:
-        model.load_weights(TRAINED_WEIGHTS)
-        # params must be DEVICE-RESIDENT: host numpy params would be
-        # re-uploaded (373 MB) on every dispatch through the tunnel
-        model.params = jax.device_put(model.params)
-        jax.block_until_ready(jax.tree.leaves(model.params)[0])
+    weights = next((p for p in TRAINED_WEIGHTS if os.path.isfile(p)), None)
+    if weights:
+        model.load_weights(weights)  # load_weights device_puts the params
+        _note(f'loaded trained weights: {weights}')
+    trained = weights is not None
+    _update(weights=('trained-synth6k' if trained else 'random-init'),
+            budget_s=BUDGET_S)
 
     rng = np.random.default_rng(0)
     H, W = 512, 768
@@ -106,84 +179,59 @@ def main():
     im = (np.round(im * 255) / 255).astype(np.float32)[None]
     lmb = 512.0
     n_iter = 11
-
-    # ---------------- fused codec (production path) -----------------------
-    import jax.numpy as _jnp
     esc_cap = 8192 if trained else 1 << 18
-    im_dev = _jnp.asarray(im)                # device-resident input, like the
+
+    warm.join()
+    jax.block_until_ready(jax.tree.leaves(model.params)[0])
+    _update(device=str(jax.devices()[0]))
+
+    im_dev = jnp.asarray(im)                 # device-resident input, like the
     np.asarray(im_dev[0, :1, :1, 0])         # reference's im.to(device)
 
-    model.compress_mode(coder='fused', esc_cap=esc_cap)
-    f32 = _measure_fused(model, im_dev, lmb, n_iter)
-    model.compress_mode(coder='fused', esc_cap=esc_cap,
-                        compute_dtype='bfloat16')
-    bf16 = _measure_fused(model, im_dev, lmb, n_iter)
+    # ------------- section 1+2: fused codec (production path) -------------
+    # f32 first: it alone yields a headline number. bf16 means
+    # backbone-only bf16 (qarv/fused.py precision policy — the
+    # decode-reproduced trunk always runs f32, so both modes round-trip
+    # bit-exact on hardware).
+    results = {}
+    for mode_name, kw in [('f32', {}), ('bf16', {'compute_dtype': 'bfloat16'})]:
+        _note(f'fused {mode_name} single-image: compiling + measuring')
+        model.compress_mode(coder='fused', esc_cap=esc_cap, **kw)
+        r = _measure_fused(model, im_dev, lmb, n_iter)
+        results[mode_name] = r
+        _note(f'fused {mode_name}: enc {r["enc_ms"]:.1f} dec {r["dec_ms"]:.1f} '
+              f'bpp {r["bpp"]:.4f}')
+        best = min(results.values(), key=lambda x: x['enc_ms'] + x['dec_ms'])
+        mode = next(k for k, v in results.items() if v is best)
+        _update(headline_ms=best['enc_ms'] + best['dec_ms'],
+                mode=mode,
+                fused_encode_ms=best['enc_ms'],
+                fused_decode_ms=best['dec_ms'],
+                fused_encode_min_ms=best['enc_min_ms'],
+                fused_decode_min_ms=best['dec_min_ms'],
+                image_host_pull_ms=best['pull_ms'],
+                fused_bpp=best['bpp'],
+                n_iter=n_iter,
+                **{f'{mode_name}_encdec_ms': r['enc_ms'] + r['dec_ms'],
+                   f'{mode_name}_fused_bpp': r['bpp']})
+        if mode_name == 'bf16':
+            _update(bf16_vs_f32_bpp_delta=r['bpp'] - results['f32']['bpp'])
+        if _remaining() < 60:
+            _note('budget nearly exhausted — emitting headline')
+            _print_final(f'fused-{mode_name}')
+            return
 
-    # headline: the faster production mode. 'bf16' means backbone-only
-    # bf16 (qarv/fused.py precision policy — the decode-reproduced trunk
-    # always runs f32, so both modes round-trip bit-exact on hardware);
-    # its small rate delta vs the all-f32 stream is surfaced in detail
-    # ('bf16_vs_f32_bpp_delta').
-    best = bf16 if (bf16['enc_ms'] + bf16['dec_ms'] <
-                    f32['enc_ms'] + f32['dec_ms']) else f32
-    mode = 'bf16' if best is bf16 else 'f32'
-    enc_ms, dec_ms = best['enc_ms'], best['dec_ms']
-    bpp_fused = best['bpp']
-    total_ms = enc_ms + dec_ms
-
-    # --------------- host coder (reference-layout streams) ----------------
-    model.compress_mode(coder='host')
-    bits_h = model.compress(im, lmb=lmb)
-    _ = model.decompress(bits_h)
-    host_e, host_d = [], []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        bits_h = model.compress(im, lmb=lmb)
-        t1 = time.perf_counter()
-        _ = model.decompress(bits_h)
-        host_e.append(t1 - t0)
-        host_d.append(time.perf_counter() - t1)
-    bpp_host = len(bits_h) * 8 / (H * W)
-
-    # --------------- qres34m (reference latency table row 2) --------------
-    # reference README.md:49-56: RTX 3080 Ti qres34m enc+dec = 199 ms.
-    # Random init (no trained qres checkpoint in this environment), so a
-    # large escape capacity; latency is weight-independent.
-    qres = lvae_tpu.get_model('qres34m')
-    qres.params = jax.device_put(qres.params)
-    jax.block_until_ready(jax.tree.leaves(qres.params)[0])
-    qres.compress_mode(coder='fused', esc_cap=1 << 18)
-    im_dev_q = _jnp.asarray(im)
-    np.asarray(im_dev_q[0, :1, :1, 0])
-    obj = qres.compress(im_dev_q)            # warm: compile + first pulls
-    _ = qres.decompress(obj)
-    qres_e, qres_d = [], []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        obj = qres.compress(im_dev_q)
-        t1 = time.perf_counter()
-        _, fH, fW, _ = obj[-1]
-        img_dev = qres.decompress_to_device(obj[0], fH, fW)
-        np.asarray(img_dev[0, :1, :1, 0])
-        t2 = time.perf_counter()
-        qres_e.append(t1 - t0)
-        qres_d.append(t2 - t1)
-
-    # --------------- batched serving mode (qarv_base, batch 6) ------------
+    # --------------- section 3: batched serving (qarv_base, B=6) ----------
     # one batch-B unified executable: fixed dispatch/transfer costs
     # amortize over the batch (see STATUS.md batch table; B=6 is the
-    # per-chip sweet spot — B=8 hits an HBM cliff). Measured per mode
-    # (f32 and backbone-only bf16, both bit-exact on hardware —
-    # runs/suite12-r3.json): (a) one-batch latency, (b) pipelined
-    # steady-state throughput — a serving loop dispatches batch k+1
-    # before finishing batch k (compress_batch_async/finish), hiding the
-    # host payload pull + stream glue behind device compute.
-    Bsrv = 6
-    ims_b = _jnp.asarray(np.concatenate([im] * Bsrv))
-    np.asarray(ims_b[0, :1, :1, 0])
-    lmbs = [lmb] * Bsrv
-
+    # per-chip sweet spot). Measured per mode: (a) one-batch latency,
+    # (b) pipelined steady-state throughput — a serving loop dispatches
+    # batch k+1 before finishing batch k (compress_batch_async/finish).
     def run_batch_mode():
+        Bsrv = 6
+        ims_b = jnp.asarray(np.concatenate([im] * Bsrv))
+        np.asarray(ims_b[0, :1, :1, 0])
+        lmbs = [lmb] * Bsrv
         bodies = model.compress_batch(ims_b, lmb=lmbs)   # compile + warm
         _ = model.decompress_batch_to_device(bodies)
         be_t, bd_t = [], []
@@ -219,82 +267,96 @@ def main():
         pipe_ms = (enc_pipe + dec_pipe) * 1e3 / Bsrv
         return lat_ms, pipe_ms
 
-    model.compress_mode(coder='fused', esc_cap=esc_cap)
-    b_f32 = run_batch_mode()
-    model.compress_mode(coder='fused', esc_cap=esc_cap,
-                        compute_dtype='bfloat16')
-    b_bf16 = run_batch_mode()
-    batch_mode = 'bf16' if b_bf16[1] < b_f32[1] else 'f32'
-    b_best = b_bf16 if batch_mode == 'bf16' else b_f32
-    batch_per_image_ms, batch_pipe_ms = b_best
+    batch = {}
+    for mode_name, kw in [('bf16', {'compute_dtype': 'bfloat16'}), ('f32', {})]:
+        if _remaining() < 240:
+            _note(f'skipping batch6 {mode_name} (budget)')
+            break
+        _note(f'batch6 {mode_name}: compiling + measuring')
+        model.compress_mode(coder='fused', esc_cap=esc_cap, **kw)
+        lat, pipe = run_batch_mode()
+        batch[mode_name] = (lat, pipe)
+        _note(f'batch6 {mode_name}: {lat:.1f} ms/img, pipelined {pipe:.1f}')
+        bb = min(batch.values(), key=lambda x: x[1])
+        _update(batch6_mode=next(k for k, v in batch.items() if v is bb),
+                batch6_encdec_ms_per_image=bb[0],
+                batch6_pipelined_ms_per_image=bb[1],
+                **{f'batch6_{mode_name}_ms_per_image': lat,
+                   f'batch6_{mode_name}_pipelined_ms_per_image': pipe})
 
-    # --------------- pure device forward (pipelined estimate) -------------
-    import jax.numpy as jnp
-    imj = jnp.asarray(im)
-    lmb_arr = jnp.full((1,), lmb, jnp.float32)
-    loss, _ = model._jit_eval(model.params, imj, lmb_arr)
-    np.asarray(loss)
+    # --------------- section 4: host coder (reference-layout streams) -----
+    if _remaining() > 180:
+        _note('host coder: measuring')
+        model.compress_mode(coder='host')
+        bits_h = model.compress(im, lmb=lmb)
+        _ = model.decompress(bits_h)
+        host_e, host_d = [], []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            bits_h = model.compress(im, lmb=lmb)
+            t1 = time.perf_counter()
+            _ = model.decompress(bits_h)
+            host_e.append(t1 - t0)
+            host_d.append(time.perf_counter() - t1)
+        bpp_host = len(bits_h) * 8 / (H * W)
+        _update(host_coder_encode_ms=_median_ms(host_e),
+                host_coder_decode_ms=_median_ms(host_d),
+                host_bpp=bpp_host,
+                fused_bpp_overhead=_snapshot['detail'].get(
+                    'fused_bpp', bpp_host) - bpp_host)
+    else:
+        _note('skipping host coder (budget)')
 
-    def run_k(k):
-        t0 = time.perf_counter()
-        for _ in range(k):
-            loss, _ = model._jit_eval(model.params, imj, lmb_arr)
+    # --------------- section 5: qres34m (reference latency table row 2) ---
+    # reference README.md:49-56: RTX 3080 Ti qres34m enc+dec = 199 ms.
+    # Random init (no trained qres checkpoint), so a large escape
+    # capacity; latency is weight-independent.
+    if _remaining() > 420:
+        _note('qres34m: compiling + measuring')
+        qres = lvae_tpu.get_model('qres34m')
+        qres.params = jax.device_put(qres.params)
+        jax.block_until_ready(jax.tree.leaves(qres.params)[0])
+        qres.compress_mode(coder='fused', esc_cap=1 << 18)
+        im_dev_q = jnp.asarray(im)
+        np.asarray(im_dev_q[0, :1, :1, 0])
+        obj = qres.compress(im_dev_q)            # warm: compile + first pulls
+        _ = qres.decompress(obj)
+        qres_e, qres_d = [], []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            obj = qres.compress(im_dev_q)
+            t1 = time.perf_counter()
+            _, fH, fW, _ = obj[-1]
+            img_dev = qres.decompress_to_device(obj[0], fH, fW)
+            np.asarray(img_dev[0, :1, :1, 0])
+            t2 = time.perf_counter()
+            qres_e.append(t1 - t0)
+            qres_d.append(t2 - t1)
+        _update(qres34m_encode_ms=_median_ms(qres_e),
+                qres34m_decode_ms=_median_ms(qres_d))
+    else:
+        _note('skipping qres34m (budget)')
+
+    # --------------- section 6: pure device forward (pipelined estimate) --
+    if _remaining() > 90:
+        imj = jnp.asarray(im)
+        lmb_arr = jnp.full((1,), lmb, jnp.float32)
+        loss, _ = model._jit_eval(model.params, imj, lmb_arr)
         np.asarray(loss)
-        return time.perf_counter() - t0
-    run_k(1)
-    # (t(6 chained) - t(1)) / 5 removes the fixed sync cost: on this tunnel
-    # block_until_ready does NOT wait, only fetches synchronize
-    fwd_ms = float(min((run_k(6) - run_k(1)) / 5 for _ in range(3)) * 1e3)
 
-    print(json.dumps({
-        'metric': 'qarv_base_encdec_latency',
-        'value': round(total_ms, 3),
-        'unit': 'ms',
-        'vs_baseline': round(BASELINE_MS / total_ms, 3),
-        'detail': {
-            # headline = fused codec (faster of f32/bf16): encode until
-            # stream bytes on host, decode until image materialized on
-            # device + sync (the reference times GPU-resident decode the
-            # same way)
-            'mode': mode,
-            'weights': 'trained-synth6k' if trained else 'random-init',
-            'fused_encode_ms': round(enc_ms, 3),
-            'fused_decode_ms': round(dec_ms, 3),
-            'fused_encode_min_ms': round(best['enc_min_ms'], 3),
-            'fused_decode_min_ms': round(best['dec_min_ms'], 3),
-            'f32_encdec_ms': round(f32['enc_ms'] + f32['dec_ms'], 3),
-            'bf16_encdec_ms': round(bf16['enc_ms'] + bf16['dec_ms'], 3),
-            'image_host_pull_ms': round(best['pull_ms'], 3),
-            # rate-parity mode (per-block host rANS, reference-equivalent
-            # stream layout)
-            'host_coder_encode_ms': round(_median_ms(host_e), 3),
-            'host_coder_decode_ms': round(_median_ms(host_d), 3),
-            # fused overhead = 512 B lane states + 10 B header (+ varint
-            # escapes: zero with trained weights)
-            'fused_bpp': round(bpp_fused, 4),
-            'f32_fused_bpp': round(f32['bpp'], 4),
-            'bf16_vs_f32_bpp_delta': round(bf16['bpp'] - f32['bpp'], 4),
-            'bf16_fused_bpp': round(bf16['bpp'], 4),
-            'host_bpp': round(bpp_host, 4),
-            'fused_bpp_overhead': round(bpp_fused - bpp_host, 4),
-            'device_forward_ms': round(fwd_ms, 3),
-            # batched serving mode: B=6 images per unified executable,
-            # per-image enc+dec wall (bit-exact, see STATUS batch table);
-            # 'pipelined' = sustained serving loop (batch k+1 dispatched
-            # before batch k is finished — host glue hidden)
-            'batch6_mode': batch_mode,
-            'batch6_encdec_ms_per_image': round(batch_per_image_ms, 3),
-            'batch6_pipelined_ms_per_image': round(batch_pipe_ms, 3),
-            'batch6_f32_ms_per_image': round(b_f32[0], 3),
-            'batch6_f32_pipelined_ms_per_image': round(b_f32[1], 3),
-            'batch6_bf16_ms_per_image': round(b_bf16[0], 3),
-            'batch6_bf16_pipelined_ms_per_image': round(b_bf16[1], 3),
-            # second reference latency row (README.md:49-56, 199 ms GPU)
-            'qres34m_encode_ms': round(_median_ms(qres_e), 3),
-            'qres34m_decode_ms': round(_median_ms(qres_d), 3),
-            'n_iter': n_iter,
-            'device': str(jax.devices()[0])},
-    }))
+        def run_k(k):
+            t0 = time.perf_counter()
+            for _ in range(k):
+                loss, _ = model._jit_eval(model.params, imj, lmb_arr)
+            np.asarray(loss)
+            return time.perf_counter() - t0
+        run_k(1)
+        # (t(6 chained) - t(1)) / 5 removes the fixed sync cost: on this
+        # tunnel block_until_ready does NOT wait, only fetches synchronize
+        fwd_ms = float(min((run_k(6) - run_k(1)) / 5 for _ in range(3)) * 1e3)
+        _update(device_forward_ms=fwd_ms)
+
+    _print_final('all')
 
 
 if __name__ == '__main__':

@@ -65,6 +65,11 @@ class VAEModelBase:
     def load_weights(self, path):
         data = Path(path).read_bytes()
         restored = flax.serialization.from_bytes(self.params, data)
+        # Weight files may be stored at reduced precision (the committed
+        # checkpoint is float16 to halve the repo footprint); compute always
+        # runs at the template dtype, so cast on load.
+        restored = jax.tree.map(
+            lambda t, r: np.asarray(r, dtype=t.dtype), self.params, restored)
         # keep params DEVICE-RESIDENT: host numpy params would be
         # re-uploaded in full on every jitted call (373 MB per dispatch for
         # qarv_base through a tunneled runtime)
