@@ -42,7 +42,12 @@ def main():
     start, end = args.lmb_range
     lambdas = np.exp(np.linspace(math.log(start), math.log(end), args.steps)).tolist()
 
-    save_json_path = Path(f'runs/results/{args.dataset_name}-{args.model}.json')
+    # --dataset_name may be a filesystem path (ad-hoc image dirs); key the
+    # result file by its basename so the output never nests under
+    # runs/results/<path>/ (the reference keys results by known dataset
+    # names, lvae/evaluation.py:15-67)
+    dataset_key = Path(args.dataset_name).name or args.dataset_name
+    save_json_path = Path(f'runs/results/{dataset_key}-{args.model}.json')
     save_json_path.parent.mkdir(parents=True, exist_ok=True)
 
     all_lmb_stats = defaultdict(list)
@@ -66,8 +71,7 @@ def main():
     # RDList; here it is part of the eval run so the number is on record)
     anchor = args.bd_anchor
     if anchor == 'auto':
-        cand = Path(f'results/{args.dataset_name}/'
-                    f'{args.dataset_name}-vtm18.0.json')
+        cand = Path(f'results/{dataset_key}/{dataset_key}-vtm18.0.json')
         anchor = str(cand) if cand.exists() else None
     if anchor:
         from lvae_tpu.utils.coding import RDList

@@ -39,7 +39,13 @@ os.environ.setdefault('PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION', 'python')
 ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
 
-W = 'runs/qarv_base_synth6k_ema.msgpack'
+# trained operating point: prefer the local f32 export, fall back to the
+# committed float16 checkpoint (rate/PSNR-identical; runs/ artifacts have
+# been lost twice, the committed file survives any workspace reset)
+WEIGHT_CANDIDATES = (
+    'runs/qarv_base_synth6k_ema.msgpack',
+    'checkpoints/qarv_base_synth6k_ema_f16.msgpack',
+)
 
 
 def med_ms(v):
@@ -171,8 +177,10 @@ def load_trained_qarv(np, jnp):
     import jax
     import lvae_tpu
     model = lvae_tpu.get_model('qarv_base')
-    assert (ROOT / W).is_file(), f'{W} missing — retrain + export first'
-    model.load_weights(str(ROOT / W))
+    w = next((p for p in WEIGHT_CANDIDATES if (ROOT / p).is_file()), None)
+    assert w, f'none of {WEIGHT_CANDIDATES} present — retrain + export first'
+    print(f'  weights: {w}', flush=True)
+    model.load_weights(str(ROOT / w))
     model.params = jax.device_put(model.params)
     jax.block_until_ready(jax.tree.leaves(model.params)[0])
     return model
@@ -187,7 +195,9 @@ def phase_a(np, jnp, model):
     # HBM cliff — suite12 — and each config is a fresh encode compile)
     for mode, cd in (('bf16', 'bfloat16'), ('f32', None)):
         model.compress_mode(coder='fused', esc_cap=8192, compute_dtype=cd)
-        for B in (6, 4, 2):
+        # B=8 stays in the sweep as the HBM-cliff probe (ADVICE r3): its
+        # exception path below records the failure mode instead of hiding it
+        for B in (6, 4, 2, 8):
             sub = jnp.asarray(ims[:B])
             np.asarray(sub[0, :1, :1, 0])
             lmbs = [512.0] * B
@@ -230,7 +240,9 @@ def phase_a(np, jnp, model):
             print(f'  {key}: {results[key]}', flush=True)
     out = ROOT / 'runs' / 'batch-throughput-r3.json'
     prev = json.loads(out.read_text()) if out.is_file() else {}
-    prev['packv2'] = results
+    # merge, don't replace: earlier packv2 entries (e.g. prior B=8 cliff
+    # records) must stay visible across reruns (ADVICE r3)
+    prev.setdefault('packv2', {}).update(results)
     out.write_text(json.dumps(prev, indent=2))
     return results
 
