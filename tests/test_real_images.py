@@ -65,5 +65,13 @@ def test_real_photo_host_fused_rate_parity(tmp_path, model):
         bits_path = tmp_path / f'parity-{coder}.bits'
         m.compress_file(img_path, bits_path, lmb=512)
         sizes[coder] = bits_path.stat().st_size
-    # compact lane flush keeps the fused stream within ~1% + 64B of host
-    assert sizes['fused'] <= sizes['host'] * 1.02 + 64, sizes
+    # The fused format pays a FIXED flush cost the host format does not:
+    # 10-byte header + compact lane-state pack (ceil(N/4) prefix bytes +
+    # 1..4 B/lane, coding.pack_states) + the LEB128 escape block. On a
+    # near-zero-rate stream (random-init qarv_tiny codes ~50 B) that
+    # flush dominates, so the bound must be absolute in N, not a
+    # percentage: a payload-packing regression (e.g. buffer padding
+    # leaking into the word section) would show up as KBs, not bytes.
+    N = m.num_lanes if isinstance(m.num_lanes, int) else 128
+    flush_cap = 10 + (N + 3) // 4 + 4 * N + 8
+    assert sizes['fused'] <= sizes['host'] * 1.02 + flush_cap, sizes
