@@ -29,8 +29,22 @@ def cast_tree(params, dtype):
 
 
 class FusedCodecBase:
+    #: subclasses that implement the portable (cross-executable
+    #: bitwise-deterministic) trunk set this True
+    supports_portable = False
+
     def __init__(self, net, cdf_table, num_lanes=128, esc_cap=8192,
-                 compute_dtype=None, interpret=False, head_cdf_table=None):
+                 compute_dtype=None, interpret=False, head_cdf_table=None,
+                 portable=False, max_program_batch=None):
+        if portable and not self.supports_portable:
+            raise NotImplementedError(
+                f'{type(self).__name__} has no portable trunk yet')
+        self.portable = bool(portable)
+        # serving batches larger than this run as balanced chunks through
+        # smaller per-chunk executables (see _chunk_sizes): the B=8 binary
+        # cliffs ~2x per image vs B<=6 on v5e (runs/suite13-r3.json), so a
+        # B=8 request is better served as two pipelined B=4 programs
+        self.max_program_batch = max_program_batch
         self.net = net
         self.table = cdf_table
         cdfs_np, offs_np = prd.prepare_device_cdf(cdf_table)
@@ -209,7 +223,12 @@ class FusedCodecBase:
         words16 = packed.view('<u2')[:n_words][::-1]  # push order -> stream
         esc_pairs = pulled[head_len + half:head_len + half + 2 * n_esc]
 
-        out = struct.pack('<IIH', n_words, n_esc, N)
+        # high bit of the lane-count field marks a PORTABLE stream (coded
+        # by the cross-executable-deterministic trunk, ops/pallas/trunk.py)
+        # — its floats differ in low bits from the legacy trunk's, so the
+        # two stream kinds must never be decoded by each other's codec
+        lanes_field = N | (0x8000 if self.portable else 0)
+        out = struct.pack('<IIH', n_words, n_esc, lanes_field)
         out += coding.pack_states(states_u32)   # compact lane-state flush
         esc_pairs = esc_pairs.astype(np.int64)
         out += coding.pack_escapes(esc_pairs[0::2], esc_pairs[1::2])
@@ -242,7 +261,13 @@ class FusedCodecBase:
     def parse_payload(self, body: bytes):
         """-> (states (1,N) i32 dev-ready, packed words i32, esc_pos, esc_val)."""
         N = self.N
-        n_words, n_esc, lanes = struct.unpack('<IIH', body[:10])
+        n_words, n_esc, lanes_field = struct.unpack('<IIH', body[:10])
+        portable = bool(lanes_field & 0x8000)
+        lanes = lanes_field & 0x7FFF
+        assert portable == self.portable, \
+            f'stream trunk kind ({"portable" if portable else "legacy"}) ' \
+            f'!= codec ({"portable" if self.portable else "legacy"}); ' \
+            f'use compress_mode(portable={portable})'
         assert lanes == N, f'stream lanes {lanes} != configured {N}'
         off = 10
         states, consumed = coding.unpack_states(body[off:], N)
@@ -361,22 +386,48 @@ class FusedCodecBase:
             self._dummy_cache[key] = d
         return d
 
+    @staticmethod
+    def _chunk_sizes(B, mpb):
+        """Balanced chunk sizes for a B-image request under a per-program
+        batch cap: sizes differ by at most 1 (B=8, cap 4 -> [4, 4];
+        B=7 -> [4, 3]). Deterministic in (B, cap) — decode re-derives the
+        same split, so legacy (binary-pinned) streams still round-trip."""
+        if not mpb or B <= mpb:
+            return [B]
+        k = -(-B // mpb)
+        base, rem = divmod(B, k)
+        return [base + 1] * rem + [base] * (k - rem)
+
     def encode_batch(self, params, ims, *extra):
-        """Encode B same-shape images in ONE program invocation; all B
-        payload prefixes arrive in ONE adaptive host pull. Returns a list
-        of B single-image wire-format bodies."""
+        """Encode B same-shape images in ONE program invocation (or a
+        pipeline of balanced chunks when B exceeds max_program_batch); all
+        payload prefixes arrive in one adaptive host pull per chunk.
+        Returns a list of B single-image wire-format bodies."""
         return self.encode_batch_finish(
             self.encode_batch_async(params, ims, *extra))
 
     def encode_batch_async(self, params, ims, *extra):
-        """Dispatch-only half of encode_batch: launches the batch-B codec
-        program and returns an opaque handle WITHOUT synchronizing. A
+        """Dispatch-only half of encode_batch: launches the batch codec
+        program(s) and returns an opaque handle WITHOUT synchronizing. A
         serving loop dispatches batch k+1 before calling
         encode_batch_finish on batch k, so the host-side payload pull of
         one batch (the runtime's fixed per-transfer cost + stream glue)
         overlaps the device compute of the next — sustained throughput
-        approaches device-only speed. Same executable as encode_batch:
-        streams are byte-identical either way."""
+        approaches device-only speed. Same executable(s) as encode_batch:
+        streams are byte-identical either way. Chunks are ALL dispatched
+        here back-to-back (the device queue serializes them), so chunk
+        k+1 computes while chunk k's payload is pulled in the finish."""
+        B = ims.shape[0]
+        handles = []
+        b0 = 0
+        for g in self._chunk_sizes(B, self.max_program_batch):
+            sub = tuple(e[b0:b0 + g] for e in extra)
+            handles.append(self._encode_one_async(
+                params, ims[b0:b0 + g], *sub))
+            b0 += g
+        return handles
+
+    def _encode_one_async(self, params, ims, *extra):
         B, imH, imW, _ = ims.shape
         d = self._dummies_b(imH, imW, B)
         payload, _ = self._codec_b(imH, imW, B)(
@@ -386,20 +437,32 @@ class FusedCodecBase:
 
     def encode_batch_finish(self, handle):
         """Synchronizing half of encode_batch_async: pulls the payload
-        prefixes (ONE bulk fetch) and assembles the B wire-format bodies."""
-        payload, key = handle
-        return self._payloads_to_bytes(payload, key)
+        prefixes (one bulk fetch per chunk) and assembles the wire-format
+        bodies."""
+        bodies = []
+        for payload, key in handle:
+            bodies.extend(self._payloads_to_bytes(payload, key))
+        return bodies
 
     def encode_check_batch(self, params, ims, *extra):
         """Batch self-check encode: also returns the images reconstructed
-        from the encode-side symbols (same executable as decode_batch)."""
+        from the encode-side symbols. Chunked EXACTLY like encode_batch —
+        the recon oracle must come from the same executables that wrote
+        the streams (legacy trunk floats are only bit-stable within one
+        binary)."""
         B, imH, imW, _ = ims.shape
-        d = self._dummies_b(imH, imW, B)
-        payload, img = self._codec_b(imH, imW, B)(
-            params, ims, d['enc'], d['on'], d['states'], d['packed'],
-            d['esc_pos'], d['esc_val'], *extra)
-        return (self._payloads_to_bytes(payload, (imH, imW, B)),
-                np.asarray(img))
+        bodies, imgs = [], []
+        b0 = 0
+        for g in self._chunk_sizes(B, self.max_program_batch):
+            sub = tuple(e[b0:b0 + g] for e in extra)
+            d = self._dummies_b(imH, imW, g)
+            payload, img = self._codec_b(imH, imW, g)(
+                params, ims[b0:b0 + g], d['enc'], d['on'], d['states'],
+                d['packed'], d['esc_pos'], d['esc_val'], *sub)
+            bodies.extend(self._payloads_to_bytes(payload, (imH, imW, g)))
+            imgs.append(np.asarray(img))
+            b0 += g
+        return bodies, np.concatenate(imgs, axis=0)
 
     def _payloads_to_bytes(self, payload, key):
         """(B, P) payload rows -> list of B bodies, ONE bulk prefix pull."""
@@ -424,8 +487,23 @@ class FusedCodecBase:
         return bodies
 
     def decode_batch_to_device(self, params, bodies, nH, nW, *extra):
-        """Parse + push B streams as ONE blob; run the batch-B codec in
-        decode mode; returns (B, H, W, 3) images ON DEVICE (async)."""
+        """Parse + push B streams as ONE blob per chunk; run the batch
+        codec in decode mode; returns (B, H, W, 3) images ON DEVICE
+        (async). Chunked with the same balanced split as encode_batch, so
+        each stream is decoded by the binary size that wrote it."""
+        B = len(bodies)
+        sizes = self._chunk_sizes(B, self.max_program_batch)
+        if len(sizes) > 1:
+            imgs, b0 = [], 0
+            for g in sizes:
+                sub = tuple(e[b0:b0 + g] for e in extra)
+                imgs.append(self._decode_one_to_device(
+                    params, bodies[b0:b0 + g], nH, nW, *sub))
+                b0 += g
+            return jnp.concatenate(imgs, axis=0)
+        return self._decode_one_to_device(params, bodies, nH, nW, *extra)
+
+    def _decode_one_to_device(self, params, bodies, nH, nW, *extra):
         parsed = [self.parse_payload(bd) for bd in bodies]
         B = len(bodies)
         ms = self.net.max_stride
@@ -520,16 +598,14 @@ class FusedCodecBase:
             rn[-1] = s - (Tb - 1) * N
             row_ns.append(rn)
             off += s
-        buf, n_words, states = pre.rans_encode_all(
+        packed, n_words, states = pre.rans_encode_all(
             jnp.concatenate(sym_rows), jnp.concatenate(idx_rows),
             np.concatenate(row_ns), self.enc_cdfs, num_lanes=N,
             interpret=self.interpret)
-        # words sit at buf[:n_words] in REVERSED stream order (the kernel
-        # writes in push order; a device-side flip would be a slow dynamic
-        # gather — the host reverses after the pull instead)
-        half = buf.shape[0] // 2
-        packed = (buf[0::2][:half] & 0xFFFF) | \
-                 ((buf[1::2][:half] & 0xFFFF) << 16)
+        # the kernel emits the WIRE packing directly (pair j = word 2j |
+        # word 2j+1 << 16, push order; the host reverses word order after
+        # the pull) — the former XLA strided re-pack of the word buffer
+        # was ~17 ms/image of gather-fusion time in the batch-6 profile
         head = jnp.concatenate([
             jnp.stack([n_words, n_esc_true, jnp.int32(N)]),
             states.reshape(-1),
@@ -613,7 +689,7 @@ class FusedCodecBase:
         row_n = np.concatenate(row_ns)
         T = syms_b.shape[1]
 
-        per_image = 8 * T * N                     # sf table + word buffer
+        per_image = 6 * T * N                     # sf table + pair buffer
         group = max(1, min(self._ENC_GROUP_MAX,
                            self._ENC_VMEM_BUDGET // max(per_image, 1)))
         bufs, nws, sts = [], [], []
@@ -635,13 +711,10 @@ class FusedCodecBase:
                 nws.append(nw)
                 sts.append(st)
             b0 += g
-        words_all = jnp.concatenate(bufs, axis=0)              # (B, W_cap)
+        # kernel pair buffers ARE the wire packing (see pack_payload)
+        packed = jnp.concatenate(bufs, axis=0)                 # (B, P_cap)
         n_words = jnp.concatenate(nws)                         # (B,)
         states = jnp.concatenate(sts, axis=0)                  # (B, N)
-
-        half = words_all.shape[1] // 2
-        packed = (words_all[:, 0::2][:, :half] & 0xFFFF) | \
-                 ((words_all[:, 1::2][:, :half] & 0xFFFF) << 16)
         esc_pairs = jnp.stack([esc_pos, esc_val], axis=2).reshape(B, -1)
         payloads = []
         for b in range(B):

@@ -62,10 +62,27 @@ from lvae_tpu.ops.pallas import rans_decode as prd
 
 
 class FusedQarvCodec(FusedCodecBase):
-    """Fused codec for VariableRateLossyVAENet (lambda-conditioned)."""
+    """Fused codec for VariableRateLossyVAENet (lambda-conditioned).
+
+    Two trunk implementations share the one-executable structure:
+      * legacy (default): flax stages, barrier-bracketed f32 XLA — bit-exact
+        WITHIN one compiled binary (same-binary round-trips).
+      * portable=True: every arithmetic op between the stream's integer
+        junctions runs in fixed-block-spec Pallas kernels
+        (ops/pallas/trunk.py), making the decode path bitwise-deterministic
+        ACROSS executables — a stream encoded by the batch-6 binary decodes
+        bit-exact (pixels included) in the batch-1 binary, a recompile, or
+        any other program embedding these kernels. Portable streams carry a
+        marker bit in the lane-count field; the two stream kinds are never
+        cross-decoded (fused_base.parse_payload enforces it).
+    """
+
+    supports_portable = True
 
     # ---------------------------------------------------- shared stages
-    # These appear in BOTH programs with identical barrier interfaces.
+    # These appear in BOTH directions of the one program with identical
+    # interfaces. `ectx` = (emb_f32, gelu(emb) or None) — the conditioning
+    # context threaded through every stage.
 
     def _emb_stage(self, params, lmb):
         net = self.net
@@ -79,24 +96,101 @@ class FusedQarvCodec(FusedCodecBase):
         return jnp.dot(x, e1['kernel'].astype(jnp.float32)) + \
             e1['bias'].astype(jnp.float32)
 
-    def _prior(self, block, bp, feature, emb):
-        f_mid, pm, pv, idx = block.apply({'params': bp}, feature, emb,
-                                         method='prior_stage')
-        return _ob((f_mid, pm, idx))
+    def _emb_ctx(self, params, lmb):
+        """-> (emb for the encode backbone, ectx for the shared trunk)."""
+        if not self.portable:
+            emb = _ob(self._emb_stage(params, lmb))
+            return emb, (emb.astype(jnp.float32), None)
+        from lvae_tpu.ops.pallas import trunk as ptk
+        net = self.net
+        half = net.lmb_embed_dim[0] // 2
+        freqs = np.power(float(net.sin_period),
+                         -np.linspace(0.0, 1.0, half)).astype(np.float32)
+        e0, e1 = params['lmb_embed_0'], params['lmb_embed_1']
+        emb, gemb = ptk.emb_mlp(
+            lmb, jnp.asarray(freqs[None]),
+            e0['kernel'].astype(jnp.float32), e0['bias'].astype(jnp.float32),
+            e1['kernel'].astype(jnp.float32), e1['bias'].astype(jnp.float32),
+            net.sin_period, interpret=self.interpret)
+        return emb, (emb, gemb)
 
-    def _fuse(self, block, bp, f_mid, pm, syms, emb):
-        out = block.apply({'params': bp}, f_mid, pm, syms, emb,
-                          method='fuse_stage')
-        return _ob(out)
+    def _scale_table(self):
+        # cache NUMPY (a jnp constant created inside one jit trace must not
+        # be reused in another — tracer leak); jnp.asarray per use site
+        tb = getattr(self, '_scale_table_np', None)
+        if tb is None:
+            from lvae_tpu.ops import cdf as cdf_ops
+            tb = cdf_ops.default_gaussian_scale_table().astype(np.float32)
+            self._scale_table_np = tb
+        return jnp.asarray(tb)
 
-    def _plain(self, block, bp, feature, emb):
-        if getattr(block, 'requires_embedding', False):
-            out = block.apply({'params': bp}, feature, emb)
-        elif bp:
-            out = block.apply({'params': bp}, feature)
-        else:
-            out = block(feature)
-        return _ob(out)
+    def _prior(self, block, bp, feature, ectx):
+        emb, gemb = ectx
+        if not self.portable:
+            f_mid, pm, pv, idx = block.apply({'params': bp}, feature, emb,
+                                             method='prior_stage')
+            return _ob((f_mid, pm, idx))
+        from lvae_tpu.ops.pallas import trunk as ptk
+        f_mid = ptk.convnext_adaln(feature, bp['resnet_front'], gemb,
+                                   block.kernel_size,
+                                   interpret=self.interpret)
+        B, H, W, C = f_mid.shape
+        Z = block.zdim
+        pm, idx = ptk.prior_head(
+            f_mid.reshape(B, H * W, C),
+            bp['prior']['kernel'].reshape(C, 2 * Z),
+            bp['prior']['bias'], self._scale_table(),
+            interpret=self.interpret)
+        return f_mid, pm.reshape(B, H, W, Z), idx.reshape(B, H, W, Z)
+
+    def _fuse(self, block, bp, f_mid, pm, syms, ectx):
+        emb, gemb = ectx
+        if not self.portable:
+            out = block.apply({'params': bp}, f_mid, pm, syms, emb,
+                              method='fuse_stage')
+            return _ob(out)
+        from lvae_tpu.ops.pallas import trunk as ptk
+        B, H, W, C = f_mid.shape
+        Z = block.zdim
+        f2 = ptk.fuse_zproj(
+            f_mid.reshape(B, H * W, C), syms.reshape(B, H * W, Z),
+            pm.reshape(B, H * W, Z),
+            bp['z_proj']['kernel'].reshape(Z, C), bp['z_proj']['bias'],
+            interpret=self.interpret).reshape(B, H, W, C)
+        return ptk.convnext_adaln(f2, bp['resnet_end'], gemb,
+                                  block.kernel_size,
+                                  interpret=self.interpret)
+
+    def _plain(self, block, bp, feature, ectx):
+        emb, gemb = ectx
+        if not self.portable:
+            if getattr(block, 'requires_embedding', False):
+                out = block.apply({'params': bp}, feature, emb)
+            elif bp:
+                out = block.apply({'params': bp}, feature)
+            else:
+                out = block(feature)
+            return _ob(out)
+        from lvae_tpu.ops.pallas import trunk as ptk
+        if isinstance(block, common.ConvNeXtBlockAdaLN):
+            return ptk.convnext_adaln(feature, bp, gemb, block.kernel_size,
+                                      interpret=self.interpret)
+        if isinstance(block, common.patch_upsample):
+            y = ptk.conv1x1(feature, bp['conv'], interpret=self.interpret)
+            return common.pixel_shuffle(y, block.rate)  # pure data movement
+        if isinstance(block, common.upsample_nearest):
+            return block(feature)                       # pure data movement
+        raise NotImplementedError(
+            f'portable trunk: unsupported block {type(block).__name__}')
+
+    def _finish(self, feat):
+        """clip -> [0,1] -> f16; in-kernel when portable so decoded PIXELS
+        are bitwise-portable across executables too."""
+        if self.portable:
+            from lvae_tpu.ops.pallas import trunk as ptk
+            return ptk.finish_image(feat, interpret=self.interpret)
+        im_out = jnp.clip(feat.astype(jnp.float32), -1.0, 1.0) * 0.5 + 0.5
+        return im_out.astype(jnp.float16)
 
     # ------------------------------------------------- the unified program
 
@@ -121,8 +215,8 @@ class FusedQarvCodec(FusedCodecBase):
         def prog(params, im, mode, want_image, states, packed,
                  esc_pos, esc_val, lmb):
             is_dec = jnp.equal(mode, jnp.int32(self.MODE_DEC))
-            emb = _ob(self._emb_stage(params, lmb))
-            emb_c = emb.astype(jnp.float32)
+            emb, ectx = self._emb_ctx(params, lmb)
+            emb_c = ectx[0]
             words = self.unpack_words(packed)
 
             # ---- encode-only backbone (bf16-able: its outputs only pick
@@ -161,7 +255,7 @@ class FusedQarvCodec(FusedCodecBase):
             for k, blk in enumerate(blocks[:stop]):
                 bp = params.get(f'dec_blocks_{k}', {})
                 if getattr(blk, 'is_latent_block', False):
-                    f_mid, pm, indexes = self._prior(blk, bp, feature, emb_c)
+                    f_mid, pm, indexes = self._prior(blk, bp, feature, ectx)
                     nsym = sizes[li]
                     T = max((nsym + N - 1) // N, 1)
                     idx_i = indexes.reshape(-1).astype(jnp.int32)
@@ -203,13 +297,13 @@ class FusedQarvCodec(FusedCodecBase):
                     # integer select: the ONLY junction between the
                     # direction-specific branches and the shared trunk
                     syms = _ob(jnp.where(is_dec, z_dec, syms_enc))
-                    feature = self._fuse(blk, bp, f_mid, pm, syms, emb_c)
+                    feature = self._fuse(blk, bp, f_mid, pm, syms, ectx)
                     syms_flat.append(syms.reshape(-1))
                     idx_flat.append(idx_i)
                     gstart += nsym
                     li += 1
                 else:
-                    feature = self._plain(blk, bp, feature, emb_c)
+                    feature = self._plain(blk, bp, feature, ectx)
 
             # ---- encode-only rANS encode kernel + payload assembly
             def _pack():
@@ -224,10 +318,8 @@ class FusedQarvCodec(FusedCodecBase):
             def _tail(feat):
                 for k2 in range(stop + 1, len(blocks)):
                     bp2 = params.get(f'dec_blocks_{k2}', {})
-                    feat = self._plain(blocks[k2], bp2, feat, emb_c)
-                im_out = jnp.clip(feat.astype(jnp.float32),
-                                  -1.0, 1.0) * 0.5 + 0.5
-                return im_out.astype(jnp.float16)
+                    feat = self._plain(blocks[k2], bp2, feat, ectx)
+                return self._finish(feat)
 
             image = jax.lax.cond(
                 jnp.equal(want_image, jnp.int32(1)), _tail,
@@ -269,8 +361,8 @@ class FusedQarvCodec(FusedCodecBase):
         def prog(params, im, mode, want_image, states, packed,
                  esc_pos, esc_val, lmb):
             is_dec = jnp.equal(mode, jnp.int32(self.MODE_DEC))
-            emb = _ob(self._emb_stage(params, lmb))            # (B, D)
-            emb_c = emb.astype(jnp.float32)
+            emb, ectx = self._emb_ctx(params, lmb)             # (B, D)
+            emb_c = ectx[0]
             words_b = [self.unpack_words(packed[b]) for b in range(B)]
 
             def _backbone():
@@ -307,7 +399,7 @@ class FusedQarvCodec(FusedCodecBase):
             for k, blk in enumerate(blocks[:stop]):
                 bp = params.get(f'dec_blocks_{k}', {})
                 if getattr(blk, 'is_latent_block', False):
-                    f_mid, pm, indexes = self._prior(blk, bp, feature, emb_c)
+                    f_mid, pm, indexes = self._prior(blk, bp, feature, ectx)
                     nsym = sizes[li]
                     T = max((nsym + N - 1) // N, 1)
                     idx_i = indexes.reshape(B, -1).astype(jnp.int32)
@@ -356,13 +448,13 @@ class FusedQarvCodec(FusedCodecBase):
                                                           jnp.int32),
                         _enc)
                     syms = _ob(jnp.where(is_dec, z_dec, syms_enc))
-                    feature = self._fuse(blk, bp, f_mid, pm, syms, emb_c)
+                    feature = self._fuse(blk, bp, f_mid, pm, syms, ectx)
                     syms_flat.append(syms.reshape(B, -1))
                     idx_flat.append(idx_i)
                     gstart += nsym
                     li += 1
                 else:
-                    feature = self._plain(blk, bp, feature, emb_c)
+                    feature = self._plain(blk, bp, feature, ectx)
 
             # encode-only: batched escape/layout ops + grouped multi-image
             # rANS encode kernels (sublane-stacked state chains)
@@ -376,10 +468,8 @@ class FusedQarvCodec(FusedCodecBase):
             def _tail(feat):
                 for k2 in range(stop + 1, len(blocks)):
                     bp2 = params.get(f'dec_blocks_{k2}', {})
-                    feat = self._plain(blocks[k2], bp2, feat, emb_c)
-                im_out = jnp.clip(feat.astype(jnp.float32),
-                                  -1.0, 1.0) * 0.5 + 0.5
-                return im_out.astype(jnp.float16)
+                    feat = self._plain(blocks[k2], bp2, feat, ectx)
+                return self._finish(feat)
 
             image = jax.lax.cond(
                 jnp.equal(want_image, jnp.int32(1)), _tail,

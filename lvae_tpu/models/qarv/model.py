@@ -690,7 +690,8 @@ class QarvModel(VAEModelBase):
 
     # ------------------------------------------------------------- compression
     def compress_mode(self, mode=True, coder='fused', num_lanes=128,
-                      esc_cap=8192, compute_dtype=None):
+                      esc_cap=8192, compute_dtype=None, portable=False,
+                      max_program_batch=None):
         """Prepare entropy coding.
 
         coder='host'   per-block C++ rANS (rate-identical to the reference's
@@ -702,7 +703,10 @@ class QarvModel(VAEModelBase):
         compute_dtype='bfloat16' runs the fused ENCODER BACKBONE in bf16;
         the trunk/priors/fuses/tail always stay f32 — r3 hardware
         validation showed cross-program bf16 trunk numerics desync the
-        rANS stream (see qarv/fused.py docstring, runs/tpu-validate-r3)."""
+        rANS stream (see qarv/fused.py docstring, runs/tpu-validate-r3).
+        max_program_batch caps the per-executable serving batch: larger
+        compress_batch requests run as balanced pipelined chunks (the
+        B=8 binary cliffs ~2x per image on v5e, runs/suite13-r3.json)."""
         assert coder in ('host', 'device', 'fused')
         if mode:
             self._coder.update()
@@ -718,6 +722,7 @@ class QarvModel(VAEModelBase):
                 self._fused_by_lanes = {}
                 self._fused_cfg = dict(
                     esc_cap=esc_cap, compute_dtype=compute_dtype,
+                    portable=portable, max_program_batch=max_program_batch,
                     interpret=jax.default_backend() == 'cpu')
                 self.num_lanes = num_lanes   # int, or 'auto' (by lambda)
                 self._fused = self._get_fused(
@@ -974,7 +979,7 @@ class QarvModel(VAEModelBase):
             shape = (nH, nW)
             lmbs.append(lmb_v)
             bodies.append(s[10:])
-        lanes = {struct.unpack('<H', b[8:10])[0] for b in bodies}
+        lanes = {struct.unpack('<H', b[8:10])[0] & 0x7FFF for b in bodies}
         assert len(lanes) == 1, f'mixed lane counts in batch: {lanes}'
         fused = self._get_fused(lanes.pop())
         nH, nW = shape
@@ -1034,6 +1039,7 @@ class QarvModel(VAEModelBase):
         scripts/speedtest-lvae.py:29-44)."""
         assert nB == 1
         lanes = struct.unpack('<H', body[8:10])[0]   # route by stream header
+        lanes &= 0x7FFF           # high bit = portable-trunk stream marker
         fused = self._get_fused(lanes)
         return fused.decode_to_device(
             self.params, body, nH, nW, jnp.full((1,), lmb, jnp.float32))

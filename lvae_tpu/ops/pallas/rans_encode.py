@@ -101,10 +101,13 @@ def _encode_kernel(end_in_ref, row_n_ref,                # scalar prefetch (SMEM
 
     def body(i, carry):
         states, ptr = carry                                            # (1,N)
-        base = pl.multiple_of((ptr // 1024) * 1024, 1024)
-        local = ptr - base
-        add_lo = jnp.zeros((16, 128), jnp.float32)
-        add_hi = jnp.zeros((16, 128), jnp.float32)
+        # ptr counts WORDS; the buffer holds PAIRS (word 2j | word 2j+1<<16
+        # in one int32 — the exact wire packing, so no XLA-side strided
+        # re-pack is ever needed). The window is 2048 pairs = 4096 words;
+        # pbase is in pair units, 1024-pair-aligned (Mosaic 1-D slices).
+        pbase = pl.multiple_of((ptr // 2048) * 1024, 1024)
+        local = ptr - 2 * pbase                       # word offset in window
+        add_b = [jnp.zeros((16, 128), jnp.float32) for _ in range(4)]
         c_total = jnp.int32(0)
 
         for k in range(_KROWS):                           # unrolled sub-rows
@@ -122,19 +125,27 @@ def _encode_kernel(end_in_ref, row_n_ref,                # scalar prefetch (SMEM
 
             rank = jnp.dot(flags_f, tri_desc,
                            preferred_element_type=jnp.float32).astype(jnp.int32)
-            target = local + rank                                      # (1,N)
+            target = local + rank                    # (1,N) word position
             word = jnp.where(flags, st & MASK16, 0)                    # (1,N)
-            # chunk selector (16,N): word's 128-word chunk within the window
-            sel_c_f = (target // 128 == crow16).astype(jnp.float32) * flags_f
-            # position selector (N,128): one reshape to column orientation
-            within_c = (target - (target // 128) * 128).reshape(N, 1)
+            pair = _srl(target, 1)                   # pair index in window
+            parity = target & 1                      # lo/hi half of the pair
+            # chunk selector (16,N): the pair's 128-pair chunk in the window
+            sel_c_f = (pair // 128 == crow16).astype(jnp.float32) * flags_f
+            within_c = (pair - (pair // 128) * 128).reshape(N, 1)
             in_f = (within_c == wcol).astype(jnp.float32)              # (N,128)
-            w_lo = (word & 255).astype(jnp.float32).reshape(N, 1)
-            w_hi = _srl(word, 8).astype(jnp.float32).reshape(N, 1)
-            add_lo = add_lo + jnp.dot(sel_c_f, in_f * w_lo,
-                                      preferred_element_type=jnp.float32)
-            add_hi = add_hi + jnp.dot(sel_c_f, in_f * w_hi,
-                                      preferred_element_type=jnp.float32)
+            # four byte planes: parity picks bytes 0/1 vs 2/3 of the pair.
+            # each plane value <= 255, every (pair, byte) written at most
+            # once across the whole stream, so the f32 one-hot dots and the
+            # cross-batch RMW adds are exact.
+            par_f = parity.astype(jnp.float32).reshape(N, 1)
+            lo_f = (word & 255).astype(jnp.float32).reshape(N, 1)
+            hi_f = _srl(word, 8).astype(jnp.float32).reshape(N, 1)
+            planes = (lo_f * (1.0 - par_f), hi_f * (1.0 - par_f),
+                      lo_f * par_f, hi_f * par_f)
+            for j in range(4):
+                add_b[j] = add_b[j] + jnp.dot(
+                    sel_c_f, in_f * planes[j],
+                    preferred_element_type=jnp.float32)
 
             st = jnp.where(flags, _srl(st, 16), st)
             q, r = _exact_divmod_u32(st, freq)
@@ -145,9 +156,12 @@ def _encode_kernel(end_in_ref, row_n_ref,                # scalar prefetch (SMEM
 
         @pl.when(c_total > 0)   # batches with no renorm skip the RMW
         def write_words():
-            add = (add_hi.astype(jnp.int32) * 256 + add_lo.astype(jnp.int32))
-            cur = words_ref[pl.ds(base, 2048)].reshape(16, 128)
-            words_ref[pl.ds(base, 2048)] = (cur + add).reshape(2048)
+            add = (add_b[0].astype(jnp.int32)
+                   | (add_b[1].astype(jnp.int32) << 8)
+                   | (add_b[2].astype(jnp.int32) << 16)
+                   | (add_b[3].astype(jnp.int32) << 24))
+            cur = words_ref[pl.ds(pbase, 2048)].reshape(16, 128)
+            words_ref[pl.ds(pbase, 2048)] = (cur + add).reshape(2048)
 
         return states, ptr + c_total
 
@@ -180,20 +194,24 @@ def rans_encode_all(syms, indexes, row_n, cdfs, num_lanes=128,
         row_n:   (T,) int32 active lanes per row (N except at block tails)
         cdfs:    (S, L) int32 sentinel-padded CDF rows (prepare_device_cdf)
     Returns:
-        (words_buf (W,) int32 — the stream is REVERSE(words_buf[:n_words]),
-         n_words int32, states (1, N) int32 — the decoder's initial states)
+        (pair_buf (P,) int32 — pair j = word 2j | word 2j+1 << 16, i.e. the
+         WIRE packing (u16 little-endian view = push-order words; the
+         stream is the word-level reversal, done by the host after the
+         pull), n_words int32 (in 16-bit words), states (1, N) int32 —
+         the decoder's initial states)
     """
     T, N = syms.shape
     S, L = cdfs.shape
     assert N == num_lanes
-    # the K-row batch flushes ONE 2048-word window per batch; a batch may
-    # emit up to local0 (<1024) + K*N words, so lane counts past 128 would
+    # the K-row batch flushes ONE 2048-pair window per batch; a batch may
+    # emit up to local0 (<2048) + K*N words, so lane counts past 128 would
     # silently drop words past the window
     assert _KROWS * N <= 1024, f'num_lanes {N} > {1024 // _KROWS} unsupported'
     if w_cap is None:
         w_cap = T * N  # worst case: one word per symbol
-    # +2048 high pad: the aligned write window may overhang the capacity
-    W_cap = ((w_cap + 2047) // 2048) * 2048 + 2048
+    # pair-unit capacity; +2048 high pad: the 1024-aligned write window may
+    # overhang the used region
+    W_cap = (((w_cap + 1) // 2 + 2047) // 2048) * 2048 + 2048
     states0 = jnp.full((1, N), 1 << 16, jnp.int32)
 
     # (start, freq) per symbol: ONE vectorized XLA gather over all T*N
@@ -265,11 +283,13 @@ def _encode_kernel_multi(end_in_ref, row_n_ref,           # scalar prefetch
 
     def body(i, carry):
         states = carry[0]                                              # (B,N)
-        ptrs = list(carry[1:])                                   # B scalars
-        bases = [pl.multiple_of((p // 1024) * 1024, 1024) for p in ptrs]
-        locs = [p - b for p, b in zip(ptrs, bases)]
-        add_lo = [jnp.zeros((16, 128), jnp.float32) for _ in range(B)]
-        add_hi = [jnp.zeros((16, 128), jnp.float32) for _ in range(B)]
+        ptrs = list(carry[1:])                             # B scalars (WORDS)
+        # pair-unit windows (2048 pairs = 4096 words), 1024-pair-aligned —
+        # see _encode_kernel: the buffer holds the exact wire packing
+        pbases = [pl.multiple_of((p // 2048) * 1024, 1024) for p in ptrs]
+        locs = [p - 2 * pb for p, pb in zip(ptrs, pbases)]
+        add_b = [[jnp.zeros((16, 128), jnp.float32) for _ in range(4)]
+                 for _ in range(B)]
         c_tot = [jnp.int32(0) for _ in range(B)]
 
         for k in range(_KROWS):                           # unrolled sub-rows
@@ -292,19 +312,24 @@ def _encode_kernel_multi(end_in_ref, row_n_ref,           # scalar prefetch
 
             for b in range(B):                        # per-image word scatter
                 c_b = jnp.sum(flags_i[b:b + 1, :])
-                target = locs[b] + rank[b:b + 1, :]                    # (1,N)
-                sel_c_f = ((target // 128 == crow16).astype(jnp.float32) *
+                target = locs[b] + rank[b:b + 1, :]      # (1,N) word position
+                pair = _srl(target, 1)
+                parity = target & 1
+                sel_c_f = ((pair // 128 == crow16).astype(jnp.float32) *
                            flags_f[b:b + 1, :])                        # (16,N)
-                within_c = (target - (target // 128) * 128).reshape(N, 1)
+                within_c = (pair - (pair // 128) * 128).reshape(N, 1)
                 in_f = (within_c == wcol).astype(jnp.float32)          # (N,128)
-                w_lo = (word[b:b + 1, :] & 255).astype(
+                par_f = parity.astype(jnp.float32).reshape(N, 1)
+                lo_f = (word[b:b + 1, :] & 255).astype(
                     jnp.float32).reshape(N, 1)
-                w_hi = _srl(word[b:b + 1, :], 8).astype(
+                hi_f = _srl(word[b:b + 1, :], 8).astype(
                     jnp.float32).reshape(N, 1)
-                add_lo[b] = add_lo[b] + jnp.dot(
-                    sel_c_f, in_f * w_lo, preferred_element_type=jnp.float32)
-                add_hi[b] = add_hi[b] + jnp.dot(
-                    sel_c_f, in_f * w_hi, preferred_element_type=jnp.float32)
+                planes = (lo_f * (1.0 - par_f), hi_f * (1.0 - par_f),
+                          lo_f * par_f, hi_f * par_f)
+                for j in range(4):
+                    add_b[b][j] = add_b[b][j] + jnp.dot(
+                        sel_c_f, in_f * planes[j],
+                        preferred_element_type=jnp.float32)
                 locs[b] = locs[b] + c_b
                 c_tot[b] = c_tot[b] + c_b
 
@@ -316,9 +341,11 @@ def _encode_kernel_multi(end_in_ref, row_n_ref,           # scalar prefetch
         for b in range(B):
             @pl.when(c_tot[b] > 0)
             def write_words(b=b):
-                add = (add_hi[b].astype(jnp.int32) * 256 +
-                       add_lo[b].astype(jnp.int32))
-                off = b * W_cap + bases[b]
+                add = (add_b[b][0].astype(jnp.int32)
+                       | (add_b[b][1].astype(jnp.int32) << 8)
+                       | (add_b[b][2].astype(jnp.int32) << 16)
+                       | (add_b[b][3].astype(jnp.int32) << 24))
+                off = b * W_cap + pbases[b]
                 cur = words_ref[pl.ds(off, 2048)].reshape(16, 128)
                 words_ref[pl.ds(off, 2048)] = (cur + add).reshape(2048)
 
@@ -352,11 +379,11 @@ def rans_encode_all_multi(syms, indexes, row_n, cdfs, num_lanes=128,
         row_n:   (T,) int32 active lanes per row (shared across images)
         cdfs:    (S, L) int32 sentinel-padded CDF rows
     Returns:
-        (words (B, W) int32 — image b's stream is REVERSE(words[b,:n_b]),
-         n_words (B,) int32, states (B, N) int32)
-    VMEM note: per image, the packed (start|freq) table + word region cost
-    2 * T * N * 4 bytes; B=2 at the qarv_base 512x768 layout is ~10 MB —
-    near the ~16 MB/core budget, so B is expected to be 2 (pairs).
+        (pair_buf (B, P) int32 — image b's pairs, wire packing (see
+         rans_encode_all), n_words (B,) int32, states (B, N) int32)
+    VMEM note: per image, the packed (start|freq) table + pair region cost
+    1.5 * T * N * 4 bytes; the grouping budget lives in
+    fused_base.pack_payload_batch.
     """
     B, T, N = syms.shape
     S, L = cdfs.shape
@@ -364,7 +391,7 @@ def rans_encode_all_multi(syms, indexes, row_n, cdfs, num_lanes=128,
     assert _KROWS * N <= 1024, f'num_lanes {N} > {1024 // _KROWS} unsupported'
     if w_cap is None:
         w_cap = T * N
-    W_cap = ((w_cap + 2047) // 2048) * 2048 + 2048
+    W_cap = (((w_cap + 1) // 2 + 2047) // 2048) * 2048 + 2048
     states0 = jnp.full((B, N), 1 << 16, jnp.int32)
 
     nxt = jnp.concatenate([cdfs[:, 1:], cdfs[:, -1:]], axis=1)
@@ -395,6 +422,15 @@ def rans_encode_all_multi(syms, indexes, row_n, cdfs, num_lanes=128,
     )(jnp.asarray([0], jnp.int32), jnp.asarray(row_n, jnp.int32),
       states0, *[sf[b] for b in range(B)])
     return words.reshape(B, W_cap), end, states
+
+
+def pairs_to_words_np(pair_buf, n_words):
+    """Host-side view of a kernel pair buffer as push-order 16-bit words.
+
+    pair j = word 2j | word 2j+1 << 16 (little-endian u16 view), which is
+    also the wire packing — the stream is the word-level reversal."""
+    return np.ascontiguousarray(
+        np.asarray(pair_buf, dtype='<i4')).view('<u2')[:int(n_words)]
 
 
 def blocks_to_rows(values_per_block, indexes_per_block, N):

@@ -43,12 +43,20 @@ def main():
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+    # Mosaic has no erf lowering; kernels use the trunk's polynomial GELU
+    # (the XLA stages keep libm-exact gelu — each flavor is only ever
+    # compared against itself)
+    from lvae_tpu.ops.pallas.trunk import _gelu as kernel_gelu
 
     print(f'device: {jax.devices()}', flush=True)
     t00 = time.time()
 
-    H, W, C = 32, 48, 384          # 1/16-level qarv_base trunk shape
-    HID = 768
+    # trunk-like stage shape, sized so the deliberately-monolithic probe
+    # kernel fits scoped VMEM (16 MB; the production trunk kernels tile —
+    # ops/pallas/trunk.py _h_tile/_row_tile — but the probe keeps ONE
+    # kernel so the whole stage's arithmetic is a single Mosaic unit)
+    H, W, C = 16, 48, 256
+    HID = 512
     K = 5
     rng = np.random.default_rng(0)
     x_np = rng.normal(0, 1.0, (6, H, W, C)).astype(np.float32)
@@ -104,9 +112,8 @@ def main():
         y = (y - mu) * jax.lax.rsqrt(var + 1e-6)
         y = y * (1.0 + sc_ref[:]) + sh_ref[:]
         y2 = y.reshape(H * W, C)
-        h = jax.nn.gelu(
-            jnp.dot(y2, w1_ref[:], preferred_element_type=jnp.float32),
-            approximate=False)
+        h = kernel_gelu(
+            jnp.dot(y2, w1_ref[:], preferred_element_type=jnp.float32))
         o = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
         o_ref[0] = o.reshape(H, W, C) + x
 

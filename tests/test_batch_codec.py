@@ -166,3 +166,33 @@ def test_qres_lossless_batch_roundtrip(images):
     # lossless: exact uint8 round-trip of the pixel grid
     assert np.array_equal(np.round(dec * 255).astype(np.uint8),
                           np.round(ims * 255).astype(np.uint8))
+
+
+def test_chunked_batch_serving(qarv_model, images):
+    """max_program_batch splits big requests into balanced per-chunk
+    executables (B=3, cap 2 -> [2, 1]); streams must round-trip against
+    the SAME chunk executables' encode-side recon, and decode must
+    re-derive the identical split."""
+    import jax.numpy as jnp
+    m = qarv_model
+    m.compress_mode(coder='fused', max_program_batch=2)
+    try:
+        assert m._fused._chunk_sizes(3, 2) == [2, 1]
+        assert m._fused._chunk_sizes(8, 4) == [4, 4]
+        assert m._fused._chunk_sizes(7, 4) == [4, 3]
+        assert m._fused._chunk_sizes(2, 2) == [2]
+        assert m._fused._chunk_sizes(5, 6) == [5]
+        lmbs = [64.0, 512.0, 2048.0]
+        bodies = m.compress_batch(images, lmb=lmbs)
+        assert len(bodies) == 3
+        lmbs_f32 = [struct.unpack('f', struct.pack('f', v))[0]
+                    for v in lmbs]
+        bodies2, recon = m._fused.encode_check_batch(
+            m.params, jnp.asarray(images),
+            jnp.asarray(lmbs_f32, jnp.float32))
+        assert [b[10:] for b in bodies] == bodies2       # deterministic
+        dec = np.asarray(m.decompress_batch(bodies))
+        assert recon.shape[0] == 3
+        assert np.array_equal(dec, np.asarray(recon, np.float32))
+    finally:
+        m.compress_mode(coder='fused')    # restore module-scoped state

@@ -42,8 +42,9 @@ def _kernel_encode(table, vals, idxs, N=128):
     buf, n_words, st = pre.rans_encode_all(
         inband, jnp.asarray(idx_rows), row_n, jnp.asarray(cdfs_d),
         num_lanes=N, interpret=True)
-    # the kernel writes in push order; the stream is the reversal
-    words = np.asarray(buf)[:int(n_words)][::-1].astype(np.uint16)
+    # the kernel emits wire-packed pairs in push order; the stream is the
+    # word-level reversal
+    words = pre.pairs_to_words_np(buf, int(n_words))[::-1]
     states = np.asarray(st).reshape(-1).view(np.uint32)
     return words, states
 
@@ -117,8 +118,8 @@ def test_encode_kernel_multi_matches_single(table, B, sizes, esc_rate, N):
             num_lanes=N, interpret=True)
         n1 = int(n1)
         assert int(n_b[b]) == n1
-        assert np.array_equal(np.asarray(words_b[b])[:n1],
-                              np.asarray(buf1)[:n1])
+        assert np.array_equal(pre.pairs_to_words_np(words_b[b], n1),
+                              pre.pairs_to_words_np(buf1, n1))
         assert np.array_equal(np.asarray(states_b[b]),
                               np.asarray(st1).reshape(-1))
 
