@@ -190,6 +190,58 @@ class Mlp(nn.Module):
         return x
 
 
+def dw_shift_add_enabled():
+    """Depthwise-conv lowering policy (read at trace time).
+
+    XLA-TPU assigns grouped convolutions a channel-shuffled activation
+    layout, inserting {3,0,2,1} relayout copies around every depthwise conv
+    in the train step (runs/train-topops-r3.txt: copies dominate the
+    profile while matmul/conv is ~2 ms). With LVAE_DW_MODE=shift the
+    depthwise conv is instead expressed as K*K shifted multiply-adds — pure
+    NHWC elementwise ops that fuse into one VPU loop, giving XLA no reason
+    to change layouts. Same parameters, same math (different f32 summation
+    order, so NOT for the legacy bit-exact codec trunk — the portable
+    Pallas trunk has its own in-kernel depthwise loop)."""
+    import os
+    return os.environ.get('LVAE_DW_MODE', '') == 'shift'
+
+
+class DepthwiseConvShiftAdd(nn.Module):
+    """Depthwise conv as shifted multiply-adds (layout-neutral on TPU).
+
+    Parameter-compatible with nn.Conv(feature_group_count=dim): kernel
+    (K, K, 1, dim), bias (dim,) under the same module name."""
+    dim: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self, x):
+        K = self.kernel_size
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (K, K, 1, self.dim))
+        bias = self.param('bias', nn.initializers.zeros_init(), (self.dim,))
+        p = (K - 1) // 2
+        H, W = x.shape[1], x.shape[2]
+        xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+        k = kernel.astype(x.dtype).reshape(K, K, self.dim)
+        out = jnp.zeros_like(x) + bias.astype(x.dtype)
+        for di in range(K):
+            for dj in range(K):
+                out = out + xp[:, di:di + H, dj:dj + W, :] * k[di, dj]
+        return out
+
+
+def depthwise_conv(dim, kernel_size, name):
+    """The depthwise conv used by ConvNeXt blocks; lowering picked by
+    dw_shift_add_enabled() (parameters identical either way)."""
+    if dw_shift_add_enabled():
+        return DepthwiseConvShiftAdd(dim, kernel_size, name=name)
+    pad = (kernel_size - 1) // 2
+    return nn.Conv(dim, (kernel_size, kernel_size),
+                   padding=[(pad, pad), (pad, pad)], feature_group_count=dim,
+                   bias_init=nn.initializers.zeros_init(), name=name)
+
+
 class ConvNeXtBlockAdaLN(nn.Module):
     """ConvNeXt block with adaptive LayerNorm conditioning
     (reference: common.py:110-161).
@@ -213,10 +265,7 @@ class ConvNeXtBlockAdaLN(nn.Module):
         dim = self.dim
         out_dim = self.out_dim or dim
         shortcut = x
-        pad = (self.kernel_size - 1) // 2
-        x = nn.Conv(dim, (self.kernel_size, self.kernel_size),
-                    padding=[(pad, pad), (pad, pad)], feature_group_count=dim,
-                    bias_init=nn.initializers.zeros_init(), name='conv_dw')(x)
+        x = depthwise_conv(dim, self.kernel_size, name='conv_dw')(x)
         in_dtype = x.dtype
         # LN statistics in f32 (bf16 variance is too noisy), output back in
         # the compute dtype so bf16 runs stay bf16
@@ -250,11 +299,7 @@ class MyConvNeXtBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         shortcut = x
-        pad = (self.kernel_size - 1) // 2
-        x = nn.Conv(self.dim, (self.kernel_size, self.kernel_size),
-                    padding=[(pad, pad), (pad, pad)],
-                    feature_group_count=self.dim,
-                    bias_init=nn.initializers.zeros_init(), name='conv_dw')(x)
+        x = depthwise_conv(self.dim, self.kernel_size, name='conv_dw')(x)
         in_dtype = x.dtype
         x = nn.LayerNorm(epsilon=1e-6, name='norm')(
             x.astype(jnp.float32)).astype(in_dtype)
