@@ -160,11 +160,15 @@ def main():
     warm = threading.Thread(target=_prepay, daemon=True)
     warm.start()
 
+    t0 = time.monotonic()
     model = lvae_tpu.get_model('qarv_base')
+    _note(f'get_model done in {time.monotonic() - t0:.1f}s')
     weights = next((p for p in TRAINED_WEIGHTS if os.path.isfile(p)), None)
     if weights:
-        model.load_weights(weights)  # load_weights device_puts the params
-        _note(f'loaded trained weights: {weights}')
+        t0 = time.monotonic()
+        model.load_weights(weights)  # pushes stored f16, casts on device
+        _note(f'loaded trained weights: {weights} '
+              f'in {time.monotonic() - t0:.1f}s')
     trained = weights is not None
     _update(weights=('trained-synth6k' if trained else 'random-init'),
             budget_s=BUDGET_S)
@@ -188,13 +192,14 @@ def main():
     im_dev = jnp.asarray(im)                 # device-resident input, like the
     np.asarray(im_dev[0, :1, :1, 0])         # reference's im.to(device)
 
-    # ------------- section 1+2: fused codec (production path) -------------
-    # f32 first: it alone yields a headline number. bf16 means
-    # backbone-only bf16 (qarv/fused.py precision policy — the
-    # decode-reproduced trunk always runs f32, so both modes round-trip
-    # bit-exact on hardware).
+    # ------------- sections 1+3: fused codec (production path) ------------
+    # f32 first: it alone yields a headline number AND is the fastest mode
+    # on hardware (bf16 = backbone-only bf16 helps rate-free encode paths,
+    # not this latency benchmark — r3/r4 runs both put f32 ahead), so the
+    # batch-6 f32 serving section runs BEFORE the bf16 single-image one.
     results = {}
-    for mode_name, kw in [('f32', {}), ('bf16', {'compute_dtype': 'bfloat16'})]:
+
+    def run_single(mode_name, kw):
         _note(f'fused {mode_name} single-image: compiling + measuring')
         model.compress_mode(coder='fused', esc_cap=esc_cap, **kw)
         r = _measure_fused(model, im_dev, lmb, n_iter)
@@ -216,10 +221,12 @@ def main():
                    f'{mode_name}_fused_bpp': r['bpp']})
         if mode_name == 'bf16':
             _update(bf16_vs_f32_bpp_delta=r['bpp'] - results['f32']['bpp'])
-        if _remaining() < 60:
-            _note('budget nearly exhausted — emitting headline')
-            _print_final(f'fused-{mode_name}')
-            return
+
+    run_single('f32', {})
+    if _remaining() < 60:
+        _note('budget nearly exhausted — emitting headline')
+        _print_final('fused-f32')
+        return
 
     # --------------- section 3: batched serving (qarv_base, B=6) ----------
     # one batch-B unified executable: fixed dispatch/transfer costs
@@ -268,10 +275,11 @@ def main():
         return lat_ms, pipe_ms
 
     batch = {}
-    for mode_name, kw in [('bf16', {'compute_dtype': 'bfloat16'}), ('f32', {})]:
-        if _remaining() < 240:
+
+    def run_batch(mode_name, kw, min_budget):
+        if _remaining() < min_budget:
             _note(f'skipping batch6 {mode_name} (budget)')
-            break
+            return
         _note(f'batch6 {mode_name}: compiling + measuring')
         model.compress_mode(coder='fused', esc_cap=esc_cap, **kw)
         lat, pipe = run_batch_mode()
@@ -283,6 +291,12 @@ def main():
                 batch6_pipelined_ms_per_image=bb[1],
                 **{f'batch6_{mode_name}_ms_per_image': lat,
                    f'batch6_{mode_name}_pipelined_ms_per_image': pipe})
+
+    # section 2: the serving headline (f32 = the fast mode) right after
+    # the single-image headline; bf16 variants run LAST (lowest priority)
+    run_batch('f32', {}, min_budget=240)
+    if _remaining() > 180:
+        run_single('bf16', {'compute_dtype': 'bfloat16'})
 
     # --------------- section 4: host coder (reference-layout streams) -----
     if _remaining() > 180:
@@ -355,6 +369,9 @@ def main():
         # tunnel block_until_ready does NOT wait, only fetches synchronize
         fwd_ms = float(min((run_k(6) - run_k(1)) / 5 for _ in range(3)) * 1e3)
         _update(device_forward_ms=fwd_ms)
+
+    # --------------- section 7 (lowest priority): batch6 bf16 -------------
+    run_batch('bf16', {'compute_dtype': 'bfloat16'}, min_budget=300)
 
     _print_final('all')
 

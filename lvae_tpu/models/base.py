@@ -66,14 +66,18 @@ class VAEModelBase:
         data = Path(path).read_bytes()
         restored = flax.serialization.from_bytes(self.params, data)
         # Weight files may be stored at reduced precision (the committed
-        # checkpoint is float16 to halve the repo footprint); compute always
-        # runs at the template dtype, so cast on load.
-        restored = jax.tree.map(
-            lambda t, r: np.asarray(r, dtype=t.dtype), self.params, restored)
+        # checkpoint is float16 to halve the repo footprint). Push the
+        # STORED precision and cast on device: host->device bandwidth is
+        # the scarce resource on tunneled runtimes (the f32 host-cast of
+        # the 187 MB f16 checkpoint doubled the upload), while the
+        # per-leaf device casts are microseconds of VPU time.
+        restored = jax.device_put(restored)
         # keep params DEVICE-RESIDENT: host numpy params would be
         # re-uploaded in full on every jitted call (373 MB per dispatch for
         # qarv_base through a tunneled runtime)
-        self.params = jax.device_put(restored)
+        self.params = jax.tree.map(
+            lambda t, r: r if r.dtype == t.dtype else r.astype(t.dtype),
+            self.params, restored)
 
     def load_state_dict(self, params):
         """Replace the parameter pytree (trainer/EMA integration)."""
