@@ -689,7 +689,7 @@ class FusedCodecBase:
         row_n = np.concatenate(row_ns)
         T = syms_b.shape[1]
 
-        per_image = 6 * T * N                     # sf table + pair buffer
+        per_image = 6 * T * N              # (idx|sym) table + pair buffer
         group = max(1, min(self._ENC_GROUP_MAX,
                            self._ENC_VMEM_BUDGET // max(per_image, 1)))
         bufs, nws, sts = [], [], []

@@ -364,6 +364,7 @@ class FusedQarvCodec(FusedCodecBase):
             emb, ectx = self._emb_ctx(params, lmb)             # (B, D)
             emb_c = ectx[0]
             words_b = [self.unpack_words(packed[b]) for b in range(B)]
+            streams_B = jnp.stack(words_b)       # (B, W) for the multi kernel
 
             def _backbone():
                 emb_bb = emb.astype(im.dtype if cd is None else jnp.dtype(cd))
@@ -407,23 +408,30 @@ class FusedQarvCodec(FusedCodecBase):
 
                     def _dec(carry, idx_i=idx_i, nsym=nsym,
                              zshape1=zshape1, T=T, gs=gstart):
+                        # ONE grouped kernel invocation decodes all B
+                        # chains (sublane-stacked states) instead of B
+                        # chained calls — cuts the 9*B-kernel chain that
+                        # dominated the batch decode leg (suite16-r4)
                         st_b, pt_b = carry
-                        outs, st2, pt2 = [], [], []
+                        idx_rows = jnp.pad(
+                            idx_i, ((0, 0), (0, T * N - nsym))
+                        ).reshape(B, T, N)
+                        sts = jnp.concatenate(
+                            [s.reshape(1, N) for s in st_b], axis=0)
+                        syms_B, st2, pt2 = prd.rans_decode_block_multi(
+                            idx_rows, sts, jnp.stack(list(pt_b)),
+                            streams_B, self.cdfs,
+                            jnp.asarray(offsets_np), jnp.int32(nsym),
+                            num_lanes=N, interpret=self.interpret)
+                        outs = []
                         for b in range(B):
-                            idx_rows = jnp.pad(
-                                idx_i[b], (0, T * N - nsym)).reshape(T, N)
-                            syms_TN, st, p = prd.rans_decode_block(
-                                idx_rows, st_b[b], pt_b[b], words_b[b],
-                                self.cdfs, jnp.asarray(offsets_np),
-                                jnp.int32(nsym), num_lanes=N,
-                                interpret=self.interpret)
-                            z = syms_TN.reshape(-1)[:nsym].reshape(zshape1)
-                            z = _patch_escapes(z, esc_pos[b], esc_val[b],
-                                               jnp.int32(gs))
-                            outs.append(z)
-                            st2.append(st)
-                            pt2.append(p)
-                        return tuple(st2), tuple(pt2), jnp.stack(outs)
+                            z = syms_B[b].reshape(-1)[:nsym].reshape(zshape1)
+                            outs.append(_patch_escapes(
+                                z, esc_pos[b], esc_val[b], jnp.int32(gs)))
+                        return (tuple(st2[b].reshape(1, N)
+                                      for b in range(B)),
+                                tuple(pt2[b] for b in range(B)),
+                                jnp.stack(outs))
 
                     def _dec_skip(carry, zshape1=zshape1):
                         st_b, pt_b = carry

@@ -254,6 +254,7 @@ class FusedQresCodec(FusedCodecBase):
                  esc_pos, esc_val):
             is_dec = jnp.equal(mode, jnp.int32(self.MODE_DEC))
             words_b = [self.unpack_words(packed[b]) for b in range(B)]
+            streams_B = jnp.stack(words_b)       # (B, W) for the multi kernel
 
             def _backbone():
                 x = net.preprocess_input(im if cd is None else im.astype(cd))
@@ -290,23 +291,28 @@ class FusedQresCodec(FusedCodecBase):
 
                     def _dec(carry, idx_i=idx_i, nsym=nsym,
                              zshape1=zshape1, T=T, gs=gstart):
+                        # one grouped kernel call for all B chains (see
+                        # qarv/fused.py batch _dec)
                         st_b, pt_b = carry
-                        outs, st2, pt2 = [], [], []
+                        idx_rows = jnp.pad(
+                            idx_i, ((0, 0), (0, T * N - nsym))
+                        ).reshape(B, T, N)
+                        sts = jnp.concatenate(
+                            [s.reshape(1, N) for s in st_b], axis=0)
+                        syms_B, st2, pt2 = prd.rans_decode_block_multi(
+                            idx_rows, sts, jnp.stack(list(pt_b)),
+                            streams_B, self.cdfs,
+                            jnp.asarray(offsets_np), jnp.int32(nsym),
+                            num_lanes=N, interpret=self.interpret)
+                        outs = []
                         for b in range(B):
-                            idx_rows = jnp.pad(
-                                idx_i[b], (0, T * N - nsym)).reshape(T, N)
-                            syms_TN, st, p = prd.rans_decode_block(
-                                idx_rows, st_b[b], pt_b[b], words_b[b],
-                                self.cdfs, jnp.asarray(offsets_np),
-                                jnp.int32(nsym), num_lanes=N,
-                                interpret=self.interpret)
-                            z = syms_TN.reshape(-1)[:nsym].reshape(zshape1)
-                            z = _patch_escapes(z, esc_pos[b], esc_val[b],
-                                               jnp.int32(gs))
-                            outs.append(z)
-                            st2.append(st)
-                            pt2.append(p)
-                        return tuple(st2), tuple(pt2), jnp.stack(outs)
+                            z = syms_B[b].reshape(-1)[:nsym].reshape(zshape1)
+                            outs.append(_patch_escapes(
+                                z, esc_pos[b], esc_val[b], jnp.int32(gs)))
+                        return (tuple(st2[b].reshape(1, N)
+                                      for b in range(B)),
+                                tuple(pt2[b] for b in range(B)),
+                                jnp.stack(outs))
 
                     def _dec_skip(carry, zshape1=zshape1):
                         st_b, pt_b = carry
@@ -350,23 +356,25 @@ class FusedQresCodec(FusedCodecBase):
 
                 def _dec_head(carry, gs=gstart, T=T, nsym=nsym):
                     st_b, pt_b = carry
-                    outs, st2, pt2 = [], [], []
+                    idx_rows = jnp.pad(
+                        head_idx.reshape(B, -1).astype(jnp.int32),
+                        ((0, 0), (0, T * N - nsym))).reshape(B, T, N)
+                    sts = jnp.concatenate(
+                        [s.reshape(1, N) for s in st_b], axis=0)
+                    syms_B, st2, pt2 = prd.rans_decode_block_multi(
+                        idx_rows, sts, jnp.stack(list(pt_b)),
+                        streams_B, self.head_cdfs,
+                        jnp.asarray(self.head_offsets_np),
+                        jnp.int32(nsym), num_lanes=N,
+                        interpret=self.interpret)
+                    outs = []
                     for b in range(B):
-                        idx_rows = jnp.pad(
-                            head_idx[b].reshape(-1).astype(jnp.int32),
-                            (0, T * N - nsym)).reshape(T, N)
-                        syms_TN, st, p = prd.rans_decode_block(
-                            idx_rows, st_b[b], pt_b[b], words_b[b],
-                            self.head_cdfs,
-                            jnp.asarray(self.head_offsets_np),
-                            jnp.int32(nsym), num_lanes=N,
-                            interpret=self.interpret)
-                        xs = syms_TN.reshape(-1)[:nsym].reshape(pshape1)
+                        xs = syms_B[b].reshape(-1)[:nsym].reshape(pshape1)
                         outs.append(_patch_escapes(
                             xs, esc_pos[b], esc_val[b], jnp.int32(gs)))
-                        st2.append(st)
-                        pt2.append(p)
-                    return tuple(st2), tuple(pt2), jnp.stack(outs)
+                    return (tuple(st2[b].reshape(1, N) for b in range(B)),
+                            tuple(pt2[b] for b in range(B)),
+                            jnp.stack(outs))
 
                 def _dec_head_skip(carry):
                     st_b, pt_b = carry

@@ -215,6 +215,226 @@ def rans_decode_block(indexes, states, ptr, stream, cdfs, offsets,
     return syms, new_states, new_ptr[0]
 
 
+def _decode_kernel_multi(nsym_ref, ptr_in_ref,        # scalar prefetch (SMEM)
+                         *refs, B, N, S, L, W_pad):
+    """B-image variant of _decode_kernel (mirror of _encode_kernel_multi):
+    the per-lane decode chains of B same-shape images are independent, so
+    the state math (slot extract, state update, renorm feed) runs stacked
+    as (B,N) on the VPU sublane dimension. Only the per-image parts stay
+    per-image: the CDF column gathers (indexes differ per image), the
+    stream-window reads (each image has its own stream region at b*W_pad
+    in ONE 1-D byte-split ref — 2-D refs would make the window slice a
+    minor-dim dynamic slice, unsupported by TPU tiling), and the symbol
+    row writes. Symbols/states/ptrs are bit-identical to B runs of
+    _decode_kernel: every arithmetic op per image is the same exact
+    int32/f32 op (tests/test_rans_decode_multi.py)."""
+    idx_refs = refs[:B]
+    stream_lo_ref, stream_hi_ref = refs[B], refs[B + 1]
+    cdf_lo_ref, cdf_hi_ref, off_ref, states_in_ref = refs[B + 2:B + 6]
+    syms_refs = refs[B + 6:B + 6 + B]
+    states_out_ref, ptr_out_ref = refs[B + 6 + B:]
+
+    T = idx_refs[0].shape[0]
+    nsym = nsym_ref[0]
+
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)       # (1,N)
+    lrow = jax.lax.broadcasted_iota(jnp.int32, (L, N), 0)            # (L,N)
+    srow = jax.lax.broadcasted_iota(jnp.int32, (S, N), 0)            # (S,N)
+    ccol16 = jax.lax.broadcasted_iota(jnp.int32, (N, 16), 1)         # (N,16)
+    wcol = jax.lax.broadcasted_iota(jnp.int32, (N, 128), 1)          # (N,128)
+    tri_exc = (jax.lax.broadcasted_iota(jnp.int32, (N, N), 0) <
+               jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)).astype(jnp.float32)
+    cdf_lo_t = cdf_lo_ref[:].astype(jnp.float32)                      # (L,S)
+    cdf_hi_t = cdf_hi_ref[:].astype(jnp.float32)
+    off_f32 = off_ref[:].astype(jnp.float32).reshape(1, S)            # (1,S)
+
+    TB = (T + _KROWS - 1) // _KROWS
+
+    def body(i, carry):
+        states = carry[0]                                         # (B,N) i32
+        ptrs = list(carry[1:])                                    # B scalars
+        bases = [pl.multiple_of((p // 1024) * 1024, 1024) for p in ptrs]
+        locs = [p - bs for p, bs in zip(ptrs, bases)]
+        wins_lo = [stream_lo_ref[pl.ds(b * W_pad + bases[b], 2048)]
+                   .reshape(16, 128).astype(jnp.float32) for b in range(B)]
+        wins_hi = [stream_hi_ref[pl.ds(b * W_pad + bases[b], 2048)]
+                   .reshape(16, 128).astype(jnp.float32) for b in range(B)]
+
+        for k in range(_KROWS):                           # unrolled sub-rows
+            t = i * _KROWS + k
+            tt = jnp.minimum(t, T - 1)
+            valid_t = t < T
+            active = jnp.logical_and((t * N + lane_iota) < nsym, valid_t)
+
+            # per-image CDF column gathers (indexes differ per image)
+            starts, nexts, offs = [], [], []
+            for b in range(B):
+                idx = idx_refs[b][tt, :].reshape(1, N)             # (1,N)
+                onehot_s = (srow == idx).astype(jnp.float32)       # (S,N)
+                rows_lo = jnp.dot(cdf_lo_t, onehot_s,
+                                  preferred_element_type=jnp.float32)
+                rows_hi = jnp.dot(cdf_hi_t, onehot_s,
+                                  preferred_element_type=jnp.float32)
+                rows = (rows_hi.astype(jnp.int32) * 256 +
+                        rows_lo.astype(jnp.int32))                 # (L,N)
+                slot_b = (states[b:b + 1, :] & MASK16)             # (1,N)
+                s_b = jnp.sum((rows <= slot_b).astype(jnp.int32),
+                              axis=0, keepdims=True) - 1           # (1,N)
+                starts.append(jnp.sum(jnp.where(lrow == s_b, rows, 0),
+                                      axis=0, keepdims=True))
+                nexts.append(jnp.sum(jnp.where(lrow == (s_b + 1), rows, 0),
+                                     axis=0, keepdims=True))
+                off_b = jnp.dot(off_f32, onehot_s,
+                                preferred_element_type=jnp.float32
+                                ).astype(jnp.int32)
+
+                @pl.when(valid_t)
+                def write_row(b=b, s_b=s_b, off_b=off_b):
+                    vals = s_b + off_b                             # (1,N)
+                    syms_refs[b][tt, :] = jnp.where(
+                        active, vals, 0).reshape(N)
+                offs.append(off_b)
+
+            slot = states & MASK16                                 # (B,N)
+            start = jnp.concatenate(starts, axis=0)                # (B,N)
+            freq = jnp.concatenate(nexts, axis=0) - start
+
+            # batched state update + renorm detection (B,N)
+            new_st = freq * _srl(states, 16) + slot - start
+            flags = jnp.logical_and(_srl(new_st, 16) == 0, active)
+            flags_f = flags.astype(jnp.float32)
+
+            words_rows = []
+            for b in range(B):                    # per-image window reads
+                nread_b = jnp.sum(flags[b:b + 1, :].astype(jnp.int32))
+
+                def read_words(_, b=b, nread_b=nread_b):
+                    rank = jnp.dot(flags_f[b:b + 1, :], tri_exc,
+                                   preferred_element_type=jnp.float32)
+                    target = (locs[b] + rank.astype(jnp.int32)).reshape(N, 1)
+                    chunk_id = target // 128
+                    within = target - chunk_id * 128
+                    sel_c = (chunk_id == ccol16).astype(jnp.float32)
+                    rows_wlo = jnp.dot(sel_c, wins_lo[b],
+                                       preferred_element_type=jnp.float32)
+                    rows_whi = jnp.dot(sel_c, wins_hi[b],
+                                       preferred_element_type=jnp.float32)
+                    in_sel = (within == wcol)
+                    word_lo = jnp.sum(jnp.where(
+                        in_sel, rows_wlo.astype(jnp.int32), 0), axis=1)
+                    word_hi = jnp.sum(jnp.where(
+                        in_sel, rows_whi.astype(jnp.int32), 0), axis=1)
+                    return (word_hi * 256 + word_lo).reshape(1, N)
+
+                words_rows.append(jax.lax.cond(
+                    nread_b > 0, read_words,
+                    lambda _: jnp.zeros((1, N), jnp.int32), None))
+                locs[b] = locs[b] + nread_b
+            words = jnp.concatenate(words_rows, axis=0)            # (B,N)
+
+            fed = (new_st << 16) | (words & MASK16)
+            new_st = jnp.where(flags, fed, new_st)
+            states = jnp.where(active, new_st, states)
+
+        return (states,) + tuple(bs + lc for bs, lc in zip(bases, locs))
+
+    states0 = states_in_ref[:].reshape(B, N)
+    out = jax.lax.fori_loop(
+        0, TB, body, (states0,) + tuple(ptr_in_ref[b] for b in range(B)))
+    states_out_ref[:] = out[0].reshape(states_out_ref.shape)
+    for b in range(B):
+        ptr_out_ref[b] = out[1 + b]
+
+
+# VMEM budget for one multi-decode invocation: per image it holds the
+# (T,N) index block, the (T,N) symbol output and the byte-split stream
+# region; groups are split so the sum stays under the 16 MB scoped limit
+# (grid=(1,) whole-array blocks — no streaming pipeline to double-buffer;
+# 12 MB leaves room for the hoisted windows, tables and register spill,
+# and admits the full B=6 batch of qarv_base 512x768's largest block in
+# one call).
+_DEC_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def rans_decode_block_multi(indexes, states, ptrs, streams, cdfs, offsets,
+                            nsym, num_lanes=128, interpret=False):
+    """Decode one latent block of B same-shape images in grouped kernel
+    passes (bit-identical to B rans_decode_block calls; see
+    _decode_kernel_multi). Collapses the B-per-block kernel-chain of the
+    batch codec — 9*B invocations per image batch — to 9*ceil(B/g).
+
+    Args:
+        indexes: (B, T, N) int32 scale indexes
+        states:  (B, N) int32 lane states
+        ptrs:    (B,) int32 word positions
+        streams: (B, W) int32 words (16-bit payloads), common padded W
+        nsym:    int32 scalar — valid symbols per image (same shape batch)
+    Returns:
+        (values (B, T, N) int32, new_states (B, N) int32, new_ptrs (B,))
+    """
+    B, T, N = indexes.shape
+    per_image = (2 * T * N + 2 * streams.shape[1]) * 4
+    g_max = max(1, _DEC_VMEM_BUDGET // max(per_image, 1))
+    syms_l, st_l, pt_l = [], [], []
+    b0 = 0
+    while b0 < B:
+        g = min(g_max, B - b0)
+        s, st, pt = _decode_multi_group(
+            indexes[b0:b0 + g], states[b0:b0 + g], ptrs[b0:b0 + g],
+            streams[b0:b0 + g], cdfs, offsets, nsym,
+            num_lanes=num_lanes, interpret=interpret)
+        syms_l.append(s)
+        st_l.append(st)
+        pt_l.append(pt)
+        b0 += g
+    if len(syms_l) == 1:
+        return syms_l[0], st_l[0], pt_l[0]
+    return (jnp.concatenate(syms_l, axis=0),
+            jnp.concatenate(st_l, axis=0), jnp.concatenate(pt_l))
+
+
+@functools.partial(jax.jit, static_argnames=('num_lanes', 'interpret'))
+def _decode_multi_group(indexes, states, ptrs, streams, cdfs, offsets,
+                        nsym, num_lanes=128, interpret=False):
+    B, T, N = indexes.shape
+    S, L = cdfs.shape
+    assert N == num_lanes
+    assert _KROWS * N <= 1024, f'num_lanes {N} > {1024 // _KROWS} unsupported'
+    cdf_lo = (cdfs & 255).T
+    cdf_hi = _srl(cdfs, 8).T
+    W = streams.shape[1]
+    W_pad = ((W + 2048 + 1023) // 1024) * 1024
+    streams = jnp.pad(streams, ((0, 0), (0, W_pad - W))).reshape(-1)
+    stream_lo = streams & 255
+    stream_hi = _srl(streams, 8)
+    kernel = functools.partial(_decode_kernel_multi, B=B, N=N, S=S, L=L,
+                               W_pad=W_pad)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (B + 6),
+        out_specs=(
+            [pl.BlockSpec(memory_space=pltpu.VMEM)] * B       # syms
+            + [pl.BlockSpec(memory_space=pltpu.VMEM),         # states out
+               pl.BlockSpec(memory_space=pltpu.SMEM)]         # ptrs out
+        ),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            [jax.ShapeDtypeStruct((T, N), jnp.int32) for _ in range(B)]
+            + [jax.ShapeDtypeStruct((B, N), jnp.int32),
+               jax.ShapeDtypeStruct((B,), jnp.int32)]
+        ),
+        interpret=interpret,
+    )(jnp.asarray([nsym], jnp.int32), jnp.asarray(ptrs, jnp.int32),
+      *[indexes[b] for b in range(B)], stream_lo, stream_hi,
+      cdf_lo, cdf_hi, offsets, states)
+    syms = jnp.stack(out[:B])
+    return syms, out[B], out[B + 1]
+
+
 def prepare_device_cdf(table):
     """CDF table in kernel form: int32, padded tail entries set to a
     (byte-splittable) sentinel larger than any 16-bit slot."""

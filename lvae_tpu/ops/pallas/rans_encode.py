@@ -7,11 +7,12 @@ CPU-resident compressai coder, reference qarv/model.py:104-113).
 
 Construction (mirrors the decode kernel in rans_decode.py):
   * rows of N symbols processed in REVERSE row order (rANS encodes backwards)
-  * (start, freq) per symbol depend only on (index, symbol) — both known
-    before coding — so they are gathered OUTSIDE the kernel in one exact
-    int32 XLA gather over all T*N symbols; the sequential loop body is pure
-    state arithmetic + word scatter (round-1 gathered tables per row with
-    one-hot MXU matmuls inside the loop, which dominated encode latency)
+  * (start, freq) per symbol are gathered IN-KERNEL from the byte-split
+    CDF tables with lane-oriented one-hot MXU dots (the decode kernel's
+    construction): the XLA gather that previously hoisted them out cost
+    ~6.3 ms/image at ~10 ns/element (xplane r4), while the round-1
+    in-kernel version was only slow because it ran in the pre-r3 (N,1)
+    orientation
   * renorm flag = (state >> 16) >= freq; flagged lanes emit their low 16 bits
   * word placement: the scalar encoder pushes words lane-DESCENDING within a
     reversed row and finally reverses the whole list. The kernel writes in
@@ -69,14 +70,19 @@ _KROWS = 8  # rows per loop iteration (8*128 emitted words fit one window)
 
 
 def _encode_kernel(end_in_ref, row_n_ref,                # scalar prefetch (SMEM)
-                   states_in_ref, start_ref, freq_ref,
+                   states_in_ref, ps_ref, cdf_lo_ref, cdf_hi_ref,
                    words_ref, states_out_ref, end_out_ref,
-                   *, N, T):
-    # (start, freq) per symbol are gathered OUTSIDE the kernel (one XLA
-    # gather over all T*N symbols — they depend only on (index, symbol),
-    # both known before encoding). Round-1 re-gathered them per row with
-    # (N,S)@(S,L) one-hot matmuls inside this sequential loop, which
-    # dominated the kernel's runtime.
+                   *, N, T, S, L):
+    # (start, freq) per symbol are gathered IN-KERNEL from the byte-split
+    # CDF tables with the decode kernel's lane-oriented one-hot MXU dots
+    # ((L,S)@(S,N) + two (L,N) selects per sub-row, exact int math).
+    # History: round 1 did in-kernel gathers in the old (N,1) orientation
+    # and they dominated the kernel; round 3 hoisted them into one XLA
+    # gather, but that gather itself cost ~6.3 ms/image at ~10 ns/element
+    # (r4 trace, %fusion.1) — the LANE-oriented in-kernel gather (the
+    # decode kernel runs the same dots for the same row count inside a
+    # ~2 ms loop) beats both. (index, symbol) arrive packed in one int32
+    # ref (idx | sym<<16), so per-image VMEM is unchanged.
     #
     # Round-3 rework, two layout facts about TPU (8,128) tiling:
     #   * the per-lane state chain (divmod is ~45 vector ops/row) runs in
@@ -96,6 +102,27 @@ def _encode_kernel(end_in_ref, row_n_ref,                # scalar prefetch (SMEM
     # a reversed row): rank_l = sum_{j>l} flags_j = (flags @ M), M[j,l]=[j>l]
     tri_desc = (jax.lax.broadcasted_iota(jnp.int32, (N, N), 0) >
                 jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)).astype(jnp.float32)
+    srow = jax.lax.broadcasted_iota(jnp.int32, (S, N), 0)             # (S,N)
+    lrow = jax.lax.broadcasted_iota(jnp.int32, (L, N), 0)             # (L,N)
+    cdf_lo_t = cdf_lo_ref[:].astype(jnp.float32)                      # (L,S)
+    cdf_hi_t = cdf_hi_ref[:].astype(jnp.float32)
+
+    def gather_sf(ps):
+        """(1,N) packed idx|sym<<16 -> (start, freq), exact (decode-kernel
+        byte-split one-hot construction)."""
+        idx = ps & MASK16
+        sym = _srl(ps, 16)
+        onehot_s = (srow == idx).astype(jnp.float32)                  # (S,N)
+        rows_lo = jnp.dot(cdf_lo_t, onehot_s,
+                          preferred_element_type=jnp.float32)         # (L,N)
+        rows_hi = jnp.dot(cdf_hi_t, onehot_s,
+                          preferred_element_type=jnp.float32)
+        rows = rows_hi.astype(jnp.int32) * 256 + rows_lo.astype(jnp.int32)
+        start = jnp.sum(jnp.where(lrow == sym, rows, 0), axis=0,
+                        keepdims=True)                                # (1,N)
+        nxt = jnp.sum(jnp.where(lrow == (sym + 1), rows, 0), axis=0,
+                      keepdims=True)
+        return start, nxt - start
 
     TB = (T + _KROWS - 1) // _KROWS
 
@@ -114,8 +141,7 @@ def _encode_kernel(end_in_ref, row_n_ref,                # scalar prefetch (SMEM
             t = T - 1 - (i * _KROWS + k)                               # reverse
             tt = jnp.maximum(t, 0)
             active = jnp.logical_and(lane_row < row_n_ref[tt], t >= 0)  # (1,N)
-            start = start_ref[tt, :].reshape(1, N)
-            freq = freq_ref[tt, :].reshape(1, N)
+            start, freq = gather_sf(ps_ref[tt, :].reshape(1, N))
             freq = jnp.where(active, freq, 1)  # keep inactive lanes benign
 
             st = states
@@ -214,27 +240,22 @@ def rans_encode_all(syms, indexes, row_n, cdfs, num_lanes=128,
     W_cap = (((w_cap + 1) // 2 + 2047) // 2048) * 2048 + 2048
     states0 = jnp.full((1, N), 1 << 16, jnp.int32)
 
-    # (start, freq) per symbol: ONE vectorized XLA gather over all T*N
-    # symbols — exact int32, keeps the sequential kernel loop free of the
-    # (N,S)@(S,L) table matmuls that dominated round-1 encode latency.
-    # start and freq are gathered TOGETHER from a packed
-    # (start | freq<<16) table: TPU gathers run at ~10 ns/element, and the
-    # two separate 617k-element gathers were ~13 ms of the fused encode
-    # program (trace r3); packing halves that. freq <= 65535 is guaranteed
-    # by the CDF builder (every in-band bin has mass >= 1 and the total is
-    # 2^16 over >= 2 bins); sentinel-padded tail entries are only gathered
-    # at inactive lane positions, where the kernel ignores them.
-    nxt = jnp.concatenate([cdfs[:, 1:], cdfs[:, -1:]], axis=1)
-    packed_tab = (cdfs & MASK16) | ((nxt - cdfs) << 16)
-    p = packed_tab[indexes, syms]                                     # (T,N)
-    start = p & MASK16
-    freq = _srl(p, 16) & MASK16
+    # (index, symbol) packed into one int32 ref; (start, freq) are gathered
+    # IN-KERNEL from the byte-split CDF tables (see _encode_kernel — the
+    # out-of-kernel XLA gather this replaces cost ~6.3 ms/image at
+    # ~10 ns/element). freq <= 65535 is guaranteed by the CDF builder
+    # (every in-band bin has mass >= 1 and the total is 2^16 over >= 2
+    # bins); in-band symbols satisfy sym + 1 < cdf_length, so the
+    # sentinel-padded tail is never selected on active lanes.
+    ps = indexes | (syms << 16)                                       # (T,N)
+    cdf_lo = (cdfs & 255).T                                           # (L,S)
+    cdf_hi = _srl(cdfs, 8).T
 
-    kernel = functools.partial(_encode_kernel, N=N, T=T)
+    kernel = functools.partial(_encode_kernel, N=N, T=T, S=S, L=L)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(1,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # words buffer
             pl.BlockSpec(memory_space=pltpu.VMEM),   # states out
@@ -251,12 +272,12 @@ def rans_encode_all(syms, indexes, row_n, cdfs, num_lanes=128,
         ],
         interpret=interpret,
     )(jnp.asarray([0], jnp.int32), jnp.asarray(row_n, jnp.int32),
-      states0, start, freq)
+      states0, ps, cdf_lo, cdf_hi)
     return words, end[0], states
 
 
 def _encode_kernel_multi(end_in_ref, row_n_ref,           # scalar prefetch
-                         states_in_ref, *refs, N, T, B, W_cap):
+                         states_in_ref, *refs, N, T, B, W_cap, S, L):
     """B-image variant of _encode_kernel: the per-lane state chains of B
     same-shape images are independent, so ALL the state math (renorm
     flags, the ~45-op exact divmod, state updates) runs stacked as (B,N)
@@ -266,18 +287,40 @@ def _encode_kernel_multi(end_in_ref, row_n_ref,           # scalar prefetch
     2048-word window into its region of ONE 1-D word buffer (per-image
     region at b*W_cap — 2-D refs would make the window slice a minor-dim
     dynamic slice, which TPU tiling does not support; 1-D slices stay
-    1024-aligned). (start|freq<<16) arrive packed in one int32 ref per
-    image (halves VMEM vs separate tables: B=2 fits the ~16 MB budget).
-    Word/state outputs are byte-identical to B runs of _encode_kernel:
-    every arithmetic op per image is the same exact int32/f32 op."""
-    sf_refs = refs[:B]
-    words_ref, states_out_ref, end_out_ref = refs[B:]
+    1024-aligned). (index|symbol<<16) arrive packed in one int32 ref per
+    image; (start, freq) are gathered in-kernel from the shared byte-split
+    CDF tables (see _encode_kernel — same VMEM budget as the former
+    packed-sf refs). Word/state outputs are byte-identical to B runs of
+    _encode_kernel: every arithmetic op per image is the same exact
+    int32/f32 op."""
+    ps_refs = refs[:B]
+    cdf_lo_ref, cdf_hi_ref = refs[B], refs[B + 1]
+    words_ref, states_out_ref, end_out_ref = refs[B + 2:]
 
     lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)         # (1,N)
     crow16 = jax.lax.broadcasted_iota(jnp.int32, (16, N), 0)          # (16,N)
     wcol = jax.lax.broadcasted_iota(jnp.int32, (N, 128), 1)           # (N,128)
     tri_desc = (jax.lax.broadcasted_iota(jnp.int32, (N, N), 0) >
                 jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)).astype(jnp.float32)
+    srow = jax.lax.broadcasted_iota(jnp.int32, (S, N), 0)             # (S,N)
+    lrow = jax.lax.broadcasted_iota(jnp.int32, (L, N), 0)             # (L,N)
+    cdf_lo_t = cdf_lo_ref[:].astype(jnp.float32)                      # (L,S)
+    cdf_hi_t = cdf_hi_ref[:].astype(jnp.float32)
+
+    def gather_sf(ps):
+        idx = ps & MASK16
+        sym = _srl(ps, 16)
+        onehot_s = (srow == idx).astype(jnp.float32)                  # (S,N)
+        rows_lo = jnp.dot(cdf_lo_t, onehot_s,
+                          preferred_element_type=jnp.float32)         # (L,N)
+        rows_hi = jnp.dot(cdf_hi_t, onehot_s,
+                          preferred_element_type=jnp.float32)
+        rows = rows_hi.astype(jnp.int32) * 256 + rows_lo.astype(jnp.int32)
+        start = jnp.sum(jnp.where(lrow == sym, rows, 0), axis=0,
+                        keepdims=True)
+        nxt = jnp.sum(jnp.where(lrow == (sym + 1), rows, 0), axis=0,
+                      keepdims=True)
+        return start, nxt - start
 
     TB = (T + _KROWS - 1) // _KROWS
 
@@ -296,10 +339,10 @@ def _encode_kernel_multi(end_in_ref, row_n_ref,           # scalar prefetch
             t = T - 1 - (i * _KROWS + k)                               # reverse
             tt = jnp.maximum(t, 0)
             active = jnp.logical_and(lane_row < row_n_ref[tt], t >= 0)  # (1,N)
-            sf = jnp.concatenate(
-                [sf_refs[b][tt, :].reshape(1, N) for b in range(B)], axis=0)
-            start = sf & MASK16                                        # (B,N)
-            freq = _srl(sf, 16) & MASK16
+            sf_b = [gather_sf(ps_refs[b][tt, :].reshape(1, N))
+                    for b in range(B)]
+            start = jnp.concatenate([s for s, _ in sf_b], axis=0)      # (B,N)
+            freq = jnp.concatenate([f for _, f in sf_b], axis=0)
             freq = jnp.where(active, freq, 1)
 
             st = states
@@ -381,8 +424,8 @@ def rans_encode_all_multi(syms, indexes, row_n, cdfs, num_lanes=128,
     Returns:
         (pair_buf (B, P) int32 — image b's pairs, wire packing (see
          rans_encode_all), n_words (B,) int32, states (B, N) int32)
-    VMEM note: per image, the packed (start|freq) table + pair region cost
-    1.5 * T * N * 4 bytes; the grouping budget lives in
+    VMEM note: per image, the packed (index|symbol) table + pair region
+    cost 1.5 * T * N * 4 bytes; the grouping budget lives in
     fused_base.pack_payload_batch.
     """
     B, T, N = syms.shape
@@ -394,16 +437,16 @@ def rans_encode_all_multi(syms, indexes, row_n, cdfs, num_lanes=128,
     W_cap = (((w_cap + 1) // 2 + 2047) // 2048) * 2048 + 2048
     states0 = jnp.full((B, N), 1 << 16, jnp.int32)
 
-    nxt = jnp.concatenate([cdfs[:, 1:], cdfs[:, -1:]], axis=1)
-    packed_tab = (cdfs & MASK16) | ((nxt - cdfs) << 16)
-    sf = packed_tab[indexes, syms]                                  # (B,T,N)
+    ps = indexes | (syms << 16)                                     # (B,T,N)
+    cdf_lo = (cdfs & 255).T                                         # (L,S)
+    cdf_hi = _srl(cdfs, 8).T
 
     kernel = functools.partial(_encode_kernel_multi, N=N, T=T, B=B,
-                               W_cap=W_cap)
+                               W_cap=W_cap, S=S, L=L)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(1,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + B),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (3 + B),
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # words buffer (B*W,)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # states out
@@ -420,7 +463,7 @@ def rans_encode_all_multi(syms, indexes, row_n, cdfs, num_lanes=128,
         ],
         interpret=interpret,
     )(jnp.asarray([0], jnp.int32), jnp.asarray(row_n, jnp.int32),
-      states0, *[sf[b] for b in range(B)])
+      states0, *[ps[b] for b in range(B)], cdf_lo, cdf_hi)
     return words.reshape(B, W_cap), end, states
 
 
