@@ -357,13 +357,16 @@ def fuse_zproj(feature, syms, pm, w, b, interpret=False):
 
 
 # ---------------------------------------------------------------------------
-# image finish: clip to [-1,1], rescale to [0,1], cast f16 — in-kernel so
-# the decoded PIXELS are also bitwise-portable across executables
+# image finish: clip to [-1,1], rescale to [0,1] — in-kernel so the decoded
+# PIXELS are also bitwise-portable across executables. The f16 cast happens
+# OUTSIDE the kernel: Mosaic on the deployed libtpu rejects f16 outright
+# ("Unsupported type in mosaic dialect: 'f16'", suite14 r4), and a lone
+# elementwise f32->f16 convert of identical input bits is itself
+# bit-deterministic (IEEE rounding, no accumulation order to vary).
 # ---------------------------------------------------------------------------
 
 def _finish_kernel(x_ref, o_ref):
-    o_ref[:] = (jnp.clip(x_ref[:], -1.0, 1.0) * 0.5
-                + 0.5).astype(jnp.float16)
+    o_ref[:] = jnp.clip(x_ref[:], -1.0, 1.0) * 0.5 + 0.5
 
 
 def finish_image(x, interpret=False):
@@ -381,10 +384,10 @@ def finish_image(x, interpret=False):
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, TR, 128), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, R, 128), jnp.float16),
+        out_shape=jax.ShapeDtypeStruct((B, R, 128), jnp.float32),
         interpret=interpret,
     )(xf)
-    return y.reshape(B, H, W, C)
+    return y.astype(jnp.float16).reshape(B, H, W, C)
 
 
 # ---------------------------------------------------------------------------

@@ -63,11 +63,18 @@ def run_suite(num, phases):
 def main():
     spec = sys.argv[1] if len(sys.argv) > 1 else '13:KAB,14:SX,16:EG'
     t00 = time.time()
+    failures = []
     for item in spec.split(','):
         num, _, phases = item.partition(':')
-        run_suite(num, phases)
+        try:
+            run_suite(num, phases)
+        except Exception:                 # one suite must not kill the rest
+            import traceback
+            traceback.print_exc()
+            failures.append(item)
     print(f'=== suite17 orchestration done in '
-          f'{(time.time() - t00) / 60:.1f} min ===', flush=True)
+          f'{(time.time() - t00) / 60:.1f} min; '
+          f'failures: {failures or "none"} ===', flush=True)
 
 
 if __name__ == '__main__':
