@@ -184,6 +184,11 @@ def main():
     lmb = 512.0
     n_iter = 11
     esc_cap = 8192 if trained else 1 << 18
+    # trained streams are 20-120k words across the lambda range; capping the
+    # word buffers at 128k cuts the encode payload-assembly conditional from
+    # 7-12 ms to ~1 ms/image (runs/fused-attrib-r4.txt). Random init emits
+    # ~283k-word pathological streams — keep the worst-case buffers there.
+    word_cap = (1 << 17) if trained else None
 
     warm.join()
     jax.block_until_ready(jax.tree.leaves(model.params)[0])
@@ -201,7 +206,8 @@ def main():
 
     def run_single(mode_name, kw):
         _note(f'fused {mode_name} single-image: compiling + measuring')
-        model.compress_mode(coder='fused', esc_cap=esc_cap, **kw)
+        model.compress_mode(coder='fused', esc_cap=esc_cap,
+                            word_cap=word_cap, **kw)
         r = _measure_fused(model, im_dev, lmb, n_iter)
         results[mode_name] = r
         _note(f'fused {mode_name}: enc {r["enc_ms"]:.1f} dec {r["dec_ms"]:.1f} '
@@ -281,7 +287,8 @@ def main():
             _note(f'skipping batch6 {mode_name} (budget)')
             return
         _note(f'batch6 {mode_name}: compiling + measuring')
-        model.compress_mode(coder='fused', esc_cap=esc_cap, **kw)
+        model.compress_mode(coder='fused', esc_cap=esc_cap,
+                            word_cap=word_cap, **kw)
         lat, pipe = run_batch_mode()
         batch[mode_name] = (lat, pipe)
         _note(f'batch6 {mode_name}: {lat:.1f} ms/img, pipelined {pipe:.1f}')

@@ -35,7 +35,7 @@ class FusedCodecBase:
 
     def __init__(self, net, cdf_table, num_lanes=128, esc_cap=8192,
                  compute_dtype=None, interpret=False, head_cdf_table=None,
-                 portable=False, max_program_batch=None):
+                 portable=False, max_program_batch=None, word_cap=None):
         if portable and not self.supports_portable:
             raise NotImplementedError(
                 f'{type(self).__name__} has no portable trunk yet')
@@ -83,6 +83,17 @@ class FusedCodecBase:
             self.enc_lengths_np = self.lengths_np
         self.N = int(num_lanes)
         self.esc_cap = int(esc_cap)
+        # optional cap on the coded stream length in 16-bit words. The
+        # default (None) sizes every word buffer for the worst case
+        # (~2 words/symbol: 1.25 MB payloads for qarv_base 512x768), but
+        # trained operating points emit 20-120k words — the oversized
+        # buffers cost real device time (the encode payload-assembly
+        # conditional alone was 7-12 ms/image in the r4 xplane trace,
+        # runs/fused-attrib-r4.txt). With word_cap set, all payload/word
+        # buffers shrink to the cap; a stream that overflows it raises
+        # OverflowError at assembly (n_words is always counted exactly),
+        # mirroring esc_cap's contract.
+        self.word_cap = int(word_cap) if word_cap else None
         self.compute_dtype = compute_dtype
         self.interpret = bool(interpret)
         self._codec_cache = {}
@@ -212,6 +223,11 @@ class FusedCodecBase:
             raise OverflowError(
                 f'{n_esc} escapes exceed the fused-codec capacity {esc_cap}; '
                 f'raise esc_cap (compress_mode) or use coder="host"')
+        if self.word_cap is not None and n_words > self.word_cap:
+            raise OverflowError(
+                f'{n_words} coded words exceed the fused-codec capacity '
+                f'{self.word_cap}; raise word_cap (compress_mode) or leave '
+                f'it unset for the worst-case buffers')
         half = (n_words + 1) // 2
         need = head_len + half + 2 * n_esc
         if need > pulled.shape[0]:             # estimate too small: pull rest
@@ -314,6 +330,8 @@ class FusedCodecBase:
             total += (nH * ms) * (nW * ms) * 3
         # 16-bit renorm emits at most 2 words per coded symbol, plus slack
         words_cap = self._word_bucket(2 * total + 2 * self.N + 64)
+        if self.word_cap is not None:
+            words_cap = min(words_cap, self._word_bucket(self.word_cap))
         eb = 128
         while eb < self.esc_cap:
             eb *= 2
@@ -598,10 +616,13 @@ class FusedCodecBase:
             rn[-1] = s - (Tb - 1) * N
             row_ns.append(rn)
             off += s
+        sym_cat = jnp.concatenate(sym_rows)
+        w_cap = (min(self.word_cap, sym_cat.shape[0] * N)
+                 if self.word_cap is not None else None)
         packed, n_words, states = pre.rans_encode_all(
-            jnp.concatenate(sym_rows), jnp.concatenate(idx_rows),
+            sym_cat, jnp.concatenate(idx_rows),
             np.concatenate(row_ns), self.enc_cdfs, num_lanes=N,
-            interpret=self.interpret)
+            w_cap=w_cap, interpret=self.interpret)
         # the kernel emits the WIRE packing directly (pair j = word 2j |
         # word 2j+1 << 16, push order; the host reverses word order after
         # the pull) — the former XLA strided re-pack of the word buffer
@@ -689,6 +710,8 @@ class FusedCodecBase:
         row_n = np.concatenate(row_ns)
         T = syms_b.shape[1]
 
+        w_cap = (min(self.word_cap, T * N)
+                 if self.word_cap is not None else None)
         per_image = 6 * T * N              # (idx|sym) table + pair buffer
         group = max(1, min(self._ENC_GROUP_MAX,
                            self._ENC_VMEM_BUDGET // max(per_image, 1)))
@@ -699,14 +722,15 @@ class FusedCodecBase:
             if g == 1:
                 buf, nw, st = pre.rans_encode_all(
                     syms_b[b0], idx_b[b0], row_n, self.enc_cdfs,
-                    num_lanes=N, interpret=self.interpret)
+                    num_lanes=N, w_cap=w_cap, interpret=self.interpret)
                 bufs.append(buf[None])
                 nws.append(nw[None])
                 sts.append(st.reshape(1, N))
             else:
                 w, nw, st = pre.rans_encode_all_multi(
                     syms_b[b0:b0 + g], idx_b[b0:b0 + g], row_n,
-                    self.enc_cdfs, num_lanes=N, interpret=self.interpret)
+                    self.enc_cdfs, num_lanes=N, w_cap=w_cap,
+                    interpret=self.interpret)
                 bufs.append(w)
                 nws.append(nw)
                 sts.append(st)

@@ -691,7 +691,7 @@ class QarvModel(VAEModelBase):
     # ------------------------------------------------------------- compression
     def compress_mode(self, mode=True, coder='fused', num_lanes=128,
                       esc_cap=8192, compute_dtype=None, portable=False,
-                      max_program_batch=None):
+                      max_program_batch=None, word_cap=None):
         """Prepare entropy coding.
 
         coder='host'   per-block C++ rANS (rate-identical to the reference's
@@ -706,7 +706,11 @@ class QarvModel(VAEModelBase):
         rANS stream (see qarv/fused.py docstring, runs/tpu-validate-r3).
         max_program_batch caps the per-executable serving batch: larger
         compress_batch requests run as balanced pipelined chunks (the
-        B=8 binary cliffs ~2x per image on v5e, runs/suite13-r3.json)."""
+        B=8 binary cliffs ~2x per image on v5e, runs/suite13-r3.json).
+        word_cap caps the coded stream length in 16-bit words, shrinking
+        every word buffer from the ~2-words/symbol worst case to the
+        operating point's real range (fused_base.FusedCodecBase.__init__);
+        streams that overflow it raise OverflowError."""
         assert coder in ('host', 'device', 'fused')
         if mode:
             self._coder.update()
@@ -723,6 +727,7 @@ class QarvModel(VAEModelBase):
                 self._fused_cfg = dict(
                     esc_cap=esc_cap, compute_dtype=compute_dtype,
                     portable=portable, max_program_batch=max_program_batch,
+                    word_cap=word_cap,
                     interpret=jax.default_backend() == 'cpu')
                 self.num_lanes = num_lanes   # int, or 'auto' (by lambda)
                 self._fused = self._get_fused(

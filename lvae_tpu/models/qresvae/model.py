@@ -535,7 +535,7 @@ class QresModel(VAEModelBase):
     # ---------------------------------------------------------- compression
     def compress_mode(self, mode=True, coder=None, num_lanes=128,
                       esc_cap=8192, compute_dtype=None,
-                      max_program_batch=None):
+                      max_program_batch=None, word_cap=None):
         """Build CDF tables (reference: qresvae/model.py:640-647).
         coder='host'   per-block C++ rANS (reference container layout)
         coder='device' staged programs + Pallas on-device decode (nB=1)
@@ -575,7 +575,7 @@ class QresModel(VAEModelBase):
                     self.net, self._block_coder._cdf_table,
                     num_lanes=num_lanes, esc_cap=esc_cap,
                     compute_dtype=compute_dtype,
-                    max_program_batch=max_program_batch,
+                    max_program_batch=max_program_batch, word_cap=word_cap,
                     interpret=jax.default_backend() == 'cpu', **head_kw)
                 self.num_lanes = num_lanes
         self.compressing = mode

@@ -132,7 +132,13 @@ def _encode_kernel(end_in_ref, row_n_ref,                # scalar prefetch (SMEM
         # in one int32 — the exact wire packing, so no XLA-side strided
         # re-pack is ever needed). The window is 2048 pairs = 4096 words;
         # pbase is in pair units, 1024-pair-aligned (Mosaic 1-D slices).
-        pbase = pl.multiple_of((ptr // 2048) * 1024, 1024)
+        # The clamp keeps overflow past a caller-supplied w_cap
+        # well-defined: extra words pile into the final window (garbage),
+        # but the word COUNT stays exact, so the host detects the
+        # overflow from n_words and raises.
+        pcap = words_ref.shape[0]
+        pbase = pl.multiple_of(
+            jnp.minimum((ptr // 2048) * 1024, pcap - 2048), 1024)
         local = ptr - 2 * pbase                       # word offset in window
         add_b = [jnp.zeros((16, 128), jnp.float32) for _ in range(4)]
         c_total = jnp.int32(0)
@@ -329,7 +335,10 @@ def _encode_kernel_multi(end_in_ref, row_n_ref,           # scalar prefetch
         ptrs = list(carry[1:])                             # B scalars (WORDS)
         # pair-unit windows (2048 pairs = 4096 words), 1024-pair-aligned —
         # see _encode_kernel: the buffer holds the exact wire packing
-        pbases = [pl.multiple_of((p // 2048) * 1024, 1024) for p in ptrs]
+        # (clamped so w_cap overflow stays in-bounds; count stays exact)
+        pbases = [pl.multiple_of(
+            jnp.minimum((p // 2048) * 1024, W_cap - 2048), 1024)
+            for p in ptrs]
         locs = [p - 2 * pb for p, pb in zip(ptrs, pbases)]
         add_b = [[jnp.zeros((16, 128), jnp.float32) for _ in range(4)]
                  for _ in range(B)]

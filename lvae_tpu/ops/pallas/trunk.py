@@ -154,8 +154,10 @@ def _dw_ln_mod_kernel(xw_ref, dwk_ref, dwb_ref, ew_ref, eb_ref, gemb_ref,
     var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
     y = (y - mu) * jax.lax.rsqrt(var + 1e-6)
     # AdaLN shift/scale from the conditioning embedding (this batch row's
-    # gemb block is selected by the grid index map)
-    e = jnp.dot(gemb_ref[:], ew_ref[:],
+    # gemb block is selected by the grid index map; the ref is (1, 1, E) —
+    # Mosaic requires the block's last-two dims to divide (8, 128) or
+    # equal the array's, so the batch dim rides as a leading 1)
+    e = jnp.dot(gemb_ref[0], ew_ref[:],
                 preferred_element_type=jnp.float32)[0] + eb_ref[:]
     shift, scale = e[:C], e[C:]
     o_ref[0] = y * (1.0 + scale) + shift
@@ -190,14 +192,19 @@ def dw_ln_mod(x, dwk, dwb, ew, eb, gemb, kernel_size, interpret=False):
                          memory_space=pltpu.VMEM),
             _full_spec(K, K, C), _full_spec(C),
             _full_spec(E, 2 * C), _full_spec(2 * C),
-            pl.BlockSpec((1, E), lambda b, i: (b, 0),
+            # (B, 1, E) so the block's last-two dims (1, E) EQUAL the
+            # array's — a (1, E) block over (B, E) is rejected by Mosaic
+            # (sublane dim 1 neither divides 8 nor equals B; suite14 r4).
+            # The in-kernel block stays shape-(1, E) for every B, which is
+            # exactly what cross-executable bit-portability needs.
+            pl.BlockSpec((1, 1, E), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, TH, W, C), lambda b, i: (b, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, W, C), jnp.float32),
         interpret=interpret,
-    )(xwin, dwk, dwb, ew, eb, gemb)
+    )(xwin, dwk, dwb, ew, eb, gemb.reshape(B, 1, E))
 
 
 # ---------------------------------------------------------------------------

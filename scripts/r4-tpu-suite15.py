@@ -168,6 +168,15 @@ def main():
             entry['classes'] = trace_classes(logdir, f'train {label} r4')
             results[label] = entry
             print(f'{label}: {entry}', flush=True)
+            # incremental artifact + free the leg's executables/buffers:
+            # four live train-step programs OOMed HBM in the orchestrated
+            # run (suite17b) — each leg stands alone
+            (ROOT / 'runs' / 'train-layout-r4.json').write_text(
+                json.dumps(results, indent=2))
+            del step, compiled, s, m, s2, m2
+            import gc
+            jax.clear_caches()
+            gc.collect()
 
     out = ROOT / 'runs' / 'train-layout-r4.json'
     out.write_text(json.dumps(results, indent=2))
