@@ -204,6 +204,17 @@ def main():
     # batch-6 f32 serving section runs BEFORE the bf16 single-image one.
     results = {}
 
+    def _section(fn, *a, **kw):
+        """Run one bench section; a failure degrades to a partial snapshot
+        instead of killing the run (the headline JSON must always print)."""
+        try:
+            fn(*a, **kw)
+        except Exception as e:  # noqa: BLE001 — record and move on
+            _note(f'SECTION FAILED ({fn.__name__} {a}): {type(e).__name__}: '
+                  f'{e}')
+            _update(**{f'failed_{fn.__name__}_{a[0] if a else ""}':
+                       f'{type(e).__name__}'})
+
     def run_single(mode_name, kw):
         _note(f'fused {mode_name} single-image: compiling + measuring')
         model.compress_mode(coder='fused', esc_cap=esc_cap,
@@ -228,7 +239,7 @@ def main():
         if mode_name == 'bf16':
             _update(bf16_vs_f32_bpp_delta=r['bpp'] - results['f32']['bpp'])
 
-    run_single('f32', {})
+    _section(run_single, 'f32', {})
     if _remaining() < 60:
         _note('budget nearly exhausted — emitting headline')
         _print_final('fused-f32')
@@ -301,12 +312,12 @@ def main():
 
     # section 2: the serving headline (f32 = the fast mode) right after
     # the single-image headline; bf16 variants run LAST (lowest priority)
-    run_batch('f32', {}, min_budget=240)
+    _section(run_batch, 'f32', {}, min_budget=240)
     if _remaining() > 180:
-        run_single('bf16', {'compute_dtype': 'bfloat16'})
+        _section(run_single, 'bf16', {'compute_dtype': 'bfloat16'})
 
     # --------------- section 4: host coder (reference-layout streams) -----
-    if _remaining() > 180:
+    def run_host():
         _note('host coder: measuring')
         model.compress_mode(coder='host')
         bits_h = model.compress(im, lmb=lmb)
@@ -325,6 +336,9 @@ def main():
                 host_bpp=bpp_host,
                 fused_bpp_overhead=_snapshot['detail'].get(
                     'fused_bpp', bpp_host) - bpp_host)
+
+    if _remaining() > 180:
+        _section(run_host)
     else:
         _note('skipping host coder (budget)')
 
@@ -332,7 +346,7 @@ def main():
     # reference README.md:49-56: RTX 3080 Ti qres34m enc+dec = 199 ms.
     # Random init (no trained qres checkpoint), so a large escape
     # capacity; latency is weight-independent.
-    if _remaining() > 420:
+    def run_qres():
         _note('qres34m: compiling + measuring')
         qres = lvae_tpu.get_model('qres34m')
         qres.params = jax.device_put(qres.params)
@@ -355,11 +369,14 @@ def main():
             qres_d.append(t2 - t1)
         _update(qres34m_encode_ms=_median_ms(qres_e),
                 qres34m_decode_ms=_median_ms(qres_d))
+
+    if _remaining() > 420:
+        _section(run_qres)
     else:
         _note('skipping qres34m (budget)')
 
     # --------------- section 6: pure device forward (pipelined estimate) --
-    if _remaining() > 90:
+    def run_forward():
         imj = jnp.asarray(im)
         lmb_arr = jnp.full((1,), lmb, jnp.float32)
         loss, _ = model._jit_eval(model.params, imj, lmb_arr)
@@ -377,8 +394,12 @@ def main():
         fwd_ms = float(min((run_k(6) - run_k(1)) / 5 for _ in range(3)) * 1e3)
         _update(device_forward_ms=fwd_ms)
 
+    if _remaining() > 90:
+        _section(run_forward)
+
     # --------------- section 7 (lowest priority): batch6 bf16 -------------
-    run_batch('bf16', {'compute_dtype': 'bfloat16'}, min_budget=300)
+    _section(run_batch, 'bf16', {'compute_dtype': 'bfloat16'},
+             min_budget=300)
 
     _print_final('all')
 

@@ -595,13 +595,28 @@ class FusedCodecBase:
         # positions, like jnp.nonzero, without its sort-based lowering)
         mask_i = esc_mask.astype(jnp.int32)
         n_esc_true = jnp.sum(mask_i)
-        rank = jnp.cumsum(mask_i) - 1
-        slot = jnp.where(esc_mask, rank, esc_cap)
-        pos_iota = jnp.arange(values.shape[0], dtype=jnp.int32)
-        esc_pos = jnp.full((esc_cap,), -1, jnp.int32).at[slot].set(
-            pos_iota, mode='drop')
-        esc_val = jnp.where(esc_pos >= 0,
-                            values[jnp.clip(esc_pos, 0, None)], 0)
+
+        # the escape scatter+gather over the full symbol range costs ~3 ms
+        # on v5e (runs/fused-attrib-r4.txt %fusion.11) while trained
+        # operating points emit ZERO escapes — skip it behind a cond (the
+        # no-escape branch's outputs equal the scatter's exactly: all-(-1)
+        # positions, all-zero values, so the wire bytes are unchanged)
+        def _extract_esc(_):
+            rank = jnp.cumsum(mask_i) - 1
+            slot = jnp.where(esc_mask, rank, esc_cap)
+            pos_iota = jnp.arange(values.shape[0], dtype=jnp.int32)
+            esc_pos = jnp.full((esc_cap,), -1, jnp.int32).at[slot].set(
+                pos_iota, mode='drop')
+            esc_val = jnp.where(esc_pos >= 0,
+                                values[jnp.clip(esc_pos, 0, None)], 0)
+            return esc_pos, esc_val
+
+        def _no_esc(_):
+            return (jnp.full((esc_cap,), -1, jnp.int32),
+                    jnp.zeros((esc_cap,), jnp.int32))
+
+        esc_pos, esc_val = jax.lax.cond(
+            n_esc_true > 0, _extract_esc, _no_esc, None)
 
         sym_rows, idx_rows, row_ns = [], [], []
         off = 0
@@ -677,18 +692,31 @@ class FusedCodecBase:
 
         mask_i = esc_mask.astype(jnp.int32)
         n_esc_true = jnp.sum(mask_i, axis=1)                     # (B,)
-        rank = jnp.cumsum(mask_i, axis=1) - 1
-        slot = jnp.where(esc_mask, rank, esc_cap)
-        pos_iota = jnp.broadcast_to(
-            jnp.arange(values.shape[1], dtype=jnp.int32), values.shape)
-        rows_b = jnp.broadcast_to(
-            jnp.arange(B, dtype=jnp.int32)[:, None], slot.shape)
-        esc_pos = jnp.full((B, esc_cap), -1, jnp.int32).at[
-            rows_b, slot].set(pos_iota, mode='drop')
-        esc_val = jnp.where(
-            esc_pos >= 0,
-            jnp.take_along_axis(values, jnp.clip(esc_pos, 0, None), axis=1),
-            0)
+
+        # see pack_payload: the scatter is dead weight at trained operating
+        # points (zero escapes) — cond-skip it batch-wide
+        def _extract_esc(_):
+            rank = jnp.cumsum(mask_i, axis=1) - 1
+            slot = jnp.where(esc_mask, rank, esc_cap)
+            pos_iota = jnp.broadcast_to(
+                jnp.arange(values.shape[1], dtype=jnp.int32), values.shape)
+            rows_b = jnp.broadcast_to(
+                jnp.arange(B, dtype=jnp.int32)[:, None], slot.shape)
+            esc_pos = jnp.full((B, esc_cap), -1, jnp.int32).at[
+                rows_b, slot].set(pos_iota, mode='drop')
+            esc_val = jnp.where(
+                esc_pos >= 0,
+                jnp.take_along_axis(values, jnp.clip(esc_pos, 0, None),
+                                    axis=1),
+                0)
+            return esc_pos, esc_val
+
+        def _no_esc(_):
+            return (jnp.full((B, esc_cap), -1, jnp.int32),
+                    jnp.zeros((B, esc_cap), jnp.int32))
+
+        esc_pos, esc_val = jax.lax.cond(
+            jnp.sum(n_esc_true) > 0, _extract_esc, _no_esc, None)
 
         sym_rows, idx_rows, row_ns = [], [], []
         off = 0

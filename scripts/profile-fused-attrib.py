@@ -31,6 +31,8 @@ def med(v):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--dtype', default='bf16', choices=['bf16', 'f32'])
+    ap.add_argument('--word_cap', type=int, default=None,
+                    help='capped word buffers (compress_mode word_cap)')
     args = ap.parse_args()
     cd = 'bfloat16' if args.dtype == 'bf16' else None
 
@@ -45,9 +47,12 @@ def main():
     from scipy.ndimage import gaussian_filter
 
     model = lvae_tpu.get_model('qarv_base')
-    w = 'runs/qarv_base_synth6k_ema.msgpack'
-    if os.path.isfile(w):
-        model.load_weights(w)
+    for w in ('runs/qarv_base_synth6k_ema.msgpack',
+              'checkpoints/qarv_base_synth6k_ema_f16.msgpack'):
+        if os.path.isfile(w):
+            model.load_weights(w)
+            print(f'weights: {w}', flush=True)
+            break
     model.params = jax.device_put(model.params)
     jax.block_until_ready(jax.tree.leaves(model.params)[0])
 
@@ -96,7 +101,8 @@ def main():
           f'one buffer {d_one:7.2f} ms')
 
     # ---------------- fused encode ---------------------------------------
-    model.compress_mode(coder='fused', esc_cap=8192, compute_dtype=cd)
+    model.compress_mode(coder='fused', esc_cap=8192, compute_dtype=cd,
+                        word_cap=args.word_cap)
     fused = model._fused
     key = (H, W)
     codec_fn = fused._codec(H, W)
