@@ -740,7 +740,11 @@ class FusedCodecBase:
 
         w_cap = (min(self.word_cap, T * N)
                  if self.word_cap is not None else None)
-        per_image = 6 * T * N              # (idx|sym) table + pair buffer
+        # per-image VMEM: the (idx|sym) table (T*N i32) + the pair buffer
+        # (T*N/2 i32 worst case; w_cap/2 when capped — capping also buys
+        # larger kernel groups)
+        pair_elems = (w_cap if w_cap is not None else T * N) // 2 + 4096
+        per_image = 4 * (T * N + pair_elems)
         group = max(1, min(self._ENC_GROUP_MAX,
                            self._ENC_VMEM_BUDGET // max(per_image, 1)))
         bufs, nws, sts = [], [], []
