@@ -128,24 +128,32 @@ def main():
                 return model.loss_and_stats(params, b, rng, training=True,
                                             compute_dtype=_cd)
 
+            # donate the state like the production trainer: an undonated
+            # chained run holds k live (params+adam+ema) copies — the f32
+            # leg OOMed HBM at k=5 (suite15b). The per-run state clone
+            # cancels in the (t(k) - t(1)) / (k-1) delta.
             step = jax.jit(
                 make_train_step(loss_fn, tx, accum_num=1, grad_clip=2.0,
                                 use_ema=True),
                 in_shardings=(repl, data, repl, repl, repl, repl),
-                out_shardings=(repl, repl))
+                out_shardings=(repl, repl),
+                donate_argnums=(0,))
+            clone = jax.jit(lambda t: jax.tree.map(lambda x: x + 0, t))
             t0 = time.time()
-            s, m = step(state, batch, key, *sargs)
+            s, m = step(clone(state), batch, key, *sargs)
             float(m['loss'])
             print(f'{label}: compiled in {time.time() - t0:.0f}s',
                   flush=True)
+            del s, m
 
             def run(k):
                 t0 = time.perf_counter()
-                s = state
+                s = clone(state)
                 out = None
                 for _ in range(k):
                     s, out = step(s, batch, key, *sargs)
                 float(out['loss'])
+                del s
                 return time.perf_counter() - t0
             run(1)
             dt = min((run(5) - run(1)) / 4 for _ in range(3))
@@ -163,7 +171,7 @@ def main():
             logdir = f'/tmp/traintrace-{label}'
             shutil.rmtree(logdir, ignore_errors=True)
             with jax.profiler.trace(logdir):
-                s2, m2 = step(state, batch, key, *sargs)
+                s2, m2 = step(clone(state), batch, key, *sargs)
                 float(m2['loss'])
             entry['classes'] = trace_classes(logdir, f'train {label} r4')
             results[label] = entry
@@ -173,7 +181,7 @@ def main():
             # run (suite17b) — each leg stands alone
             (ROOT / 'runs' / 'train-layout-r4.json').write_text(
                 json.dumps(results, indent=2))
-            del step, compiled, s, m, s2, m2
+            del step, compiled, clone, s2, m2
             import gc
             jax.clear_caches()
             gc.collect()

@@ -167,47 +167,50 @@ def main():
     if 'E' in phases:
         print('--- phase E: chained-iter attribution (capped) ---',
               flush=True)
-        model.compress_mode(coder='fused', esc_cap=8192, word_cap=WORD_CAP)
-        fused = model._fused
-        H, W = 512, 768
-        codec_fn = fused._codec(H, W)
-        dm = fused._dummies(H, W)
-        lmb_arr = jnp.full((1,), 512.0, jnp.float32)
+        for dt_name, cd in (('f32', None), ('bf16', 'bfloat16')):
+            model.compress_mode(coder='fused', esc_cap=8192,
+                                word_cap=WORD_CAP, compute_dtype=cd)
+            fused = model._fused
+            H, W = 512, 768
+            codec_fn = fused._codec(H, W)
+            dm = fused._dummies(H, W)
+            lmb_arr = jnp.full((1,), 512.0, jnp.float32)
 
-        def enc_fn():
-            p, _ = codec_fn(model.params, im_dev, dm['enc'], dm['off'],
-                            dm['states'], dm['packed'], dm['esc_pos'],
-                            dm['esc_val'], lmb_arr)
-            return p
-        enc_ms = chained_exec(np, enc_fn, lambda p: np.asarray(p[:4]))
+            def enc_fn():
+                p, _ = codec_fn(model.params, im_dev, dm['enc'], dm['off'],
+                                dm['states'], dm['packed'], dm['esc_pos'],
+                                dm['esc_val'], lmb_arr)
+                return p
+            enc_ms = chained_exec(np, enc_fn, lambda p: np.asarray(p[:4]))
 
-        body = model.compress(im_dev, lmb=512.0)
-        st, pk, ep, ev = fused.parse_payload(body[10:])
-        PK, EB = fused._canon_sizes(H // 64, W // 64)
-        pk_c = np.zeros(PK, np.int32)
-        pk_c[:pk.size] = pk.view(np.int32)
-        ep_c = np.full(EB, -1, np.int32)
-        ep_c[:ep.size] = ep
-        ev_c = np.zeros(EB, np.int32)
-        ev_c[:ev.size] = ev
-        sj, pj, ej, vj = (jnp.asarray(st), jnp.asarray(pk_c),
-                          jnp.asarray(ep_c), jnp.asarray(ev_c))
+            body = model.compress(im_dev, lmb=512.0)
+            st, pk, ep, ev = fused.parse_payload(body[10:])
+            PK, EB = fused._canon_sizes(H // 64, W // 64)
+            pk_c = np.zeros(PK, np.int32)
+            pk_c[:pk.size] = pk.view(np.int32)
+            ep_c = np.full(EB, -1, np.int32)
+            ep_c[:ep.size] = ep
+            ev_c = np.zeros(EB, np.int32)
+            ev_c[:ev.size] = ev
+            sj, pj, ej, vj = (jnp.asarray(st), jnp.asarray(pk_c),
+                              jnp.asarray(ep_c), jnp.asarray(ev_c))
 
-        def dec_fn():
-            _, img = codec_fn(model.params, dm['im'], dm['dec'], dm['on'],
-                              sj, pj, ej, vj, lmb_arr)
-            return img
-        dec_ms = chained_exec(np, dec_fn,
-                              lambda r: np.asarray(r[0, :1, :1, 0]))
-        out['attrib_capped'] = {'enc_exec_ms': round(enc_ms, 2),
-                                'dec_exec_ms': round(dec_ms, 2),
-                                'encdec_exec_ms': round(enc_ms + dec_ms, 2)}
-        print(f'  device exec: enc {enc_ms:.1f} + dec {dec_ms:.1f} = '
-              f'{enc_ms + dec_ms:.1f} ms', flush=True)
-        with open(ROOT / 'runs' / 'fused-attrib-r4.txt', 'a') as f:
-            f.write(f'\n\n== word_cap={WORD_CAP} chained-iter exec '
-                    f'(suite18) ==\nenc {enc_ms:.2f} ms  dec {dec_ms:.2f} '
-                    f'ms  sum {enc_ms + dec_ms:.2f} ms\n')
+            def dec_fn():
+                _, img = codec_fn(model.params, dm['im'], dm['dec'],
+                                  dm['on'], sj, pj, ej, vj, lmb_arr)
+                return img
+            dec_ms = chained_exec(np, dec_fn,
+                                  lambda r: np.asarray(r[0, :1, :1, 0]))
+            out[f'attrib_capped_{dt_name}'] = {
+                'enc_exec_ms': round(enc_ms, 2),
+                'dec_exec_ms': round(dec_ms, 2),
+                'encdec_exec_ms': round(enc_ms + dec_ms, 2)}
+            print(f'  {dt_name} device exec: enc {enc_ms:.1f} + dec '
+                  f'{dec_ms:.1f} = {enc_ms + dec_ms:.1f} ms', flush=True)
+            with open(ROOT / 'runs' / 'fused-attrib-r4.txt', 'a') as f:
+                f.write(f'\n\n== word_cap={WORD_CAP} {dt_name} chained-iter '
+                        f'exec (suite18) ==\nenc {enc_ms:.2f} ms  dec '
+                        f'{dec_ms:.2f} ms  sum {enc_ms + dec_ms:.2f} ms\n')
 
     if 'B' in phases:
         print('--- phase B: batch-6 f32 word_cap ---', flush=True)
