@@ -236,7 +236,8 @@ def main():
                 n_iter=n_iter,
                 **{f'{mode_name}_encdec_ms': r['enc_ms'] + r['dec_ms'],
                    f'{mode_name}_fused_bpp': r['bpp']})
-        if mode_name == 'bf16':
+        if mode_name == 'bf16' and 'f32' in results:  # f32 section may
+            # have failed; don't let its absence mark bf16 as failed too
             _update(bf16_vs_f32_bpp_delta=r['bpp'] - results['f32']['bpp'])
 
     _section(run_single, 'f32', {})

@@ -93,7 +93,7 @@ class FusedCodecBase:
         # buffers shrink to the cap; a stream that overflows it raises
         # OverflowError at assembly (n_words is always counted exactly),
         # mirroring esc_cap's contract.
-        self.word_cap = int(word_cap) if word_cap else None
+        self.word_cap = int(word_cap) if word_cap is not None else None
         self.compute_dtype = compute_dtype
         self.interpret = bool(interpret)
         self._codec_cache = {}
@@ -357,8 +357,15 @@ class FusedCodecBase:
         N = self.N
         PK, EB = self._canon_sizes(nH, nW)
         wb, eb = packed.size, esc_pos.size
-        assert wb <= PK and eb <= EB, \
-            f'stream exceeds canonical buffers: {wb}>{PK} or {eb}>{EB}'
+        if wb > PK or eb > EB:
+            # reachable for VALID foreign streams when this codec runs
+            # with a word_cap below the stream's length — same contract
+            # as the encode side: OverflowError with actionable guidance
+            raise OverflowError(
+                f'stream exceeds this codec\'s buffers ({wb}>{PK} pairs or '
+                f'{eb}>{EB} escapes); raise word_cap/esc_cap '
+                f'(compress_mode) or leave word_cap unset for the '
+                f'worst-case buffers')
         pkey = (nH, nW, wb, eb)
         prep = self._dec_wrap.get(pkey)
         if prep is None:
@@ -531,8 +538,11 @@ class FusedCodecBase:
         N = self.N
         PK, EB = self._canon_sizes(nH, nW)
         sizes = tuple((int(p[1].size), int(p[2].size)) for p in parsed)
-        assert all(wb <= PK and eb <= EB for wb, eb in sizes), \
-            f'stream exceeds canonical buffers {PK}/{EB}: {sizes}'
+        if not all(wb <= PK and eb <= EB for wb, eb in sizes):
+            raise OverflowError(
+                f'stream exceeds this codec\'s buffers {PK}/{EB}: {sizes}; '
+                f'raise word_cap/esc_cap (compress_mode) or leave word_cap '
+                f'unset for the worst-case buffers')
         pkey = (nH, nW, B, sizes)
         prep = self._dec_wrap.get(pkey)
         if prep is None:
@@ -741,9 +751,9 @@ class FusedCodecBase:
         w_cap = (min(self.word_cap, T * N)
                  if self.word_cap is not None else None)
         # per-image VMEM: the (idx|sym) table (T*N i32) + the pair buffer
-        # (T*N/2 i32 worst case; w_cap/2 when capped — capping also buys
-        # larger kernel groups)
-        pair_elems = (w_cap if w_cap is not None else T * N) // 2 + 4096
+        # (worst case when uncapped; capping buys larger kernel groups);
+        # pair_capacity is the kernel's own allocation formula
+        pair_elems = pre.pair_capacity(w_cap if w_cap is not None else T * N)
         per_image = 4 * (T * N + pair_elems)
         group = max(1, min(self._ENC_GROUP_MAX,
                            self._ENC_VMEM_BUDGET // max(per_image, 1)))

@@ -241,9 +241,7 @@ def rans_encode_all(syms, indexes, row_n, cdfs, num_lanes=128,
     assert _KROWS * N <= 1024, f'num_lanes {N} > {1024 // _KROWS} unsupported'
     if w_cap is None:
         w_cap = T * N  # worst case: one word per symbol
-    # pair-unit capacity; +2048 high pad: the 1024-aligned write window may
-    # overhang the used region
-    W_cap = (((w_cap + 1) // 2 + 2047) // 2048) * 2048 + 2048
+    W_cap = pair_capacity(w_cap)
     states0 = jnp.full((1, N), 1 << 16, jnp.int32)
 
     # (index, symbol) packed into one int32 ref; (start, freq) are gathered
@@ -443,7 +441,7 @@ def rans_encode_all_multi(syms, indexes, row_n, cdfs, num_lanes=128,
     assert _KROWS * N <= 1024, f'num_lanes {N} > {1024 // _KROWS} unsupported'
     if w_cap is None:
         w_cap = T * N
-    W_cap = (((w_cap + 1) // 2 + 2047) // 2048) * 2048 + 2048
+    W_cap = pair_capacity(w_cap)
     states0 = jnp.full((B, N), 1 << 16, jnp.int32)
 
     ps = indexes | (syms << 16)                                     # (B,T,N)
@@ -474,6 +472,14 @@ def rans_encode_all_multi(syms, indexes, row_n, cdfs, num_lanes=128,
     )(jnp.asarray([0], jnp.int32), jnp.asarray(row_n, jnp.int32),
       states0, *[ps[b] for b in range(B)], cdf_lo, cdf_hi)
     return words.reshape(B, W_cap), end, states
+
+
+def pair_capacity(w_cap):
+    """Pair-buffer length (int32 elements) a kernel allocates for a word
+    capacity of `w_cap` 16-bit words — the single source of truth shared
+    with fused_base's VMEM grouping estimate. Includes the 1024-aligned
+    write window's +2048 overhang pad."""
+    return (((w_cap + 1) // 2 + 2047) // 2048) * 2048 + 2048
 
 
 def pairs_to_words_np(pair_buf, n_words):

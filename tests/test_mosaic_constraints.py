@@ -64,6 +64,13 @@ def test_portable_codec_pallas_calls_satisfy_mosaic_rules(monkeypatch, B):
 
     monkeypatch.setattr(ptk.pl, 'pallas_call', spy)
 
+    # module-level @jax.jit wrappers (rans kernels) may already be traced
+    # by earlier tests in the same process — without this, their
+    # pallas_calls would silently escape the spy and coverage would be
+    # test-ordering dependent
+    import jax
+    jax.clear_caches()
+
     m = lvae_tpu.get_model('qarv_tiny')
     m.compress_mode(coder='fused', portable=True)
     rng = np.random.default_rng(3)
