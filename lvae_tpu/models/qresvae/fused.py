@@ -25,7 +25,17 @@ from lvae_tpu.ops.pallas import rans_decode as prd
 
 
 class FusedQresCodec(FusedCodecBase):
-    """Fused codec for HierarchicalVAENet (MSE or lossless-NLL head)."""
+    """Fused codec for HierarchicalVAENet (MSE or lossless-NLL head).
+
+    Two trunk implementations share the one-executable structure (see
+    qarv/fused.py): legacy (barrier-bracketed f32 XLA stages, bit-exact
+    within one binary) and portable=True (fixed-block-spec Pallas kernels,
+    ops/pallas/trunk.py — bitwise-deterministic ACROSS executables, so
+    files decode in any process). Portable covers the plain-ConvNeXt /
+    VDBlock-prior / z-proj latent blocks AND the lossless NLL pixel head;
+    only the deconv upsampler (qres17m) is unsupported."""
+
+    supports_portable = True
 
     def __init__(self, *args, head_scale_table=None, **kwargs):
         super().__init__(*args, **kwargs)
@@ -34,20 +44,106 @@ class FusedQresCodec(FusedCodecBase):
                                                   jnp.float32))
         if self.head_index_base is not None:
             assert self.head_scale_table is not None
+        if self.portable:
+            for blk in self.net.dec_blocks:
+                if isinstance(blk, common.deconv):
+                    raise NotImplementedError(
+                        'portable trunk: the deconv upsampler (qres17m) '
+                        'has no portable kernel yet; use portable=False')
+
+    def _latent_table(self):
+        # cache NUMPY; jnp.asarray per use site (a jnp constant created in
+        # one jit trace must not leak into another)
+        tb = getattr(self, '_latent_table_np', None)
+        if tb is None:
+            tb = self.table.scale_table.astype(jnp.float32)
+            self._latent_table_np = tb
+        return jnp.asarray(tb)
 
     def _prior(self, block, bp, feature):
-        f_mid, pm, pv, idx = block.apply({'params': bp}, feature,
-                                         method='prior_stage')
-        return _ob((f_mid, pm, idx))
+        if not self.portable:
+            f_mid, pm, pv, idx = block.apply({'params': bp}, feature,
+                                             method='prior_stage')
+            return _ob((f_mid, pm, idx))
+        from lvae_tpu.ops.pallas import trunk as ptk
+        f_mid = ptk.convnext_plain(feature, bp['resnet_front'],
+                                   block.kernel_size,
+                                   interpret=self.interpret)
+        pm, idx = ptk.qres_prior_head(
+            f_mid, bp['prior'], block.kernel_size >= 3,
+            self._latent_table(), interpret=self.interpret)
+        return f_mid, pm, idx
 
     def _fuse(self, block, bp, f_mid, pm, syms):
-        out = block.apply({'params': bp}, f_mid, pm, syms,
-                          method='fuse_stage')
-        return _ob(out)
+        if not self.portable:
+            out = block.apply({'params': bp}, f_mid, pm, syms,
+                              method='fuse_stage')
+            return _ob(out)
+        from lvae_tpu.ops.pallas import trunk as ptk
+        return ptk.qres_fuse(f_mid, syms, pm, bp, block.kernel_size,
+                             interpret=self.interpret)
 
     def _plain(self, block, bp, feature):
-        out = block.apply({'params': bp}, feature) if bp else block(feature)
-        return _ob(out)
+        if not self.portable:
+            out = (block.apply({'params': bp}, feature) if bp
+                   else block(feature))
+            return _ob(out)
+        from lvae_tpu.ops.pallas import trunk as ptk
+        if isinstance(block, common.MyConvNeXtBlock):
+            return ptk.convnext_plain(feature, bp, block.kernel_size,
+                                      interpret=self.interpret)
+        if isinstance(block, common.patch_upsample):
+            y = ptk.conv1x1(feature, bp['conv'], interpret=self.interpret)
+            return common.pixel_shuffle(y, block.rate)  # pure data movement
+        if isinstance(block, common.upsample_nearest):
+            return block(feature)                       # pure data movement
+        raise NotImplementedError(
+            f'portable trunk: unsupported block {type(block).__name__}')
+
+    def _head_tensors(self, params, feature):
+        """Lossless pixel head -> (pm in bin units, scale indexes); trunk
+        math (both directions recompute it), so portable mode runs it in
+        kernels — incl. the FMA-sensitive round-to-grid chain."""
+        net = self.net
+        if not self.portable:
+            pm, plogv = net.apply(
+                {'params': params}, feature.astype(jnp.float32),
+                method=net.out_codec_tensors)
+            head_idx = ec.build_indexes(jnp.exp(plogv),
+                                        self.head_scale_table)
+            return _ob((pm, head_idx))
+        from lvae_tpu.ops.pallas import trunk as ptk
+        onp = params['out_net']
+        rate = net.out_net.conv_mean.rate
+        m = common.pixel_shuffle(ptk.conv1x1(
+            feature, onp['conv_mean']['conv'], interpret=self.interpret),
+            rate)
+        r = common.pixel_shuffle(ptk.conv1x1(
+            feature, onp['conv_scale']['conv'], interpret=self.interpret),
+            rate)
+        return ptk.nll_head(m, r, self.head_scale_table,
+                            net.out_net.bin_size, interpret=self.interpret)
+
+    def _head_recon(self, xs, pm):
+        """(symbols + pm) * bin -> exact uint8 pixel grid."""
+        net = self.net
+        if not self.portable:
+            x_hat = (xs.astype(jnp.float32) + pm) * net.out_net.bin_size
+            im_out = jnp.clip(x_hat, -1.0, 1.0) * 0.5 + 0.5
+            return jnp.round(im_out * 255).astype(jnp.uint8)
+        from lvae_tpu.ops.pallas import trunk as ptk
+        y = ptk.nll_recon(xs, pm, net.out_net.bin_size,
+                          interpret=self.interpret)
+        return y.astype(jnp.uint8)
+
+    def _finish(self, feat):
+        """MSE tail finish: clip -> [0,1] -> f16; in-kernel when portable
+        (see qarv/fused.FusedQarvCodec._finish)."""
+        if self.portable:
+            from lvae_tpu.ops.pallas import trunk as ptk
+            return ptk.finish_image(feat, interpret=self.interpret)
+        im_out = jnp.clip(feat.astype(jnp.float32), -1.0, 1.0) * 0.5 + 0.5
+        return im_out.astype(jnp.float16)
 
     # ------------------------------------------------- the unified program
 
@@ -155,13 +251,9 @@ class FusedQresCodec(FusedCodecBase):
                     feature = self._plain(blk, bp, feature)
 
             if self.head_index_base is not None:
-                # lossless pixel head: pm/plogv/indexes are trunk (shared,
-                # f32, uncast params); only the symbol source is selected
-                pm, plogv = net.apply(
-                    {'params': params}, feature.astype(jnp.float32),
-                    method=net.out_codec_tensors)
-                head_idx = ec.build_indexes(jnp.exp(plogv),
-                                            self.head_scale_table)
+                # lossless pixel head: pm/indexes are trunk (shared, f32,
+                # uncast params); only the symbol source is selected
+                pm, head_idx = self._head_tensors(params, feature)
                 nsym = imH * imW * 3
                 T = (nsym + N - 1) // N
                 idx_rows = jnp.pad(head_idx.reshape(-1).astype(jnp.int32),
@@ -206,10 +298,7 @@ class FusedQresCodec(FusedCodecBase):
 
             if self.head_index_base is not None:
                 def _img_head():
-                    x_hat = (xs.astype(jnp.float32) + pm) * \
-                        net.out_net.bin_size
-                    im_out = jnp.clip(x_hat, -1.0, 1.0) * 0.5 + 0.5
-                    return jnp.round(im_out * 255).astype(jnp.uint8)
+                    return self._head_recon(xs, pm)
                 image = jax.lax.cond(
                     jnp.equal(want_image, jnp.int32(1)), _img_head,
                     lambda: jnp.zeros((1, imH, imW, 3), jnp.uint8))
@@ -219,9 +308,7 @@ class FusedQresCodec(FusedCodecBase):
                 for k2 in range(stop, len(blocks)):
                     bp2 = params.get(f'dec_blocks_{k2}', {})
                     feat = self._plain(blocks[k2], bp2, feat)
-                im_out = jnp.clip(feat.astype(jnp.float32),
-                                  -1.0, 1.0) * 0.5 + 0.5
-                return im_out.astype(jnp.float16)
+                return self._finish(feat)
 
             image = jax.lax.cond(
                 jnp.equal(want_image, jnp.int32(1)), _tail,
@@ -345,11 +432,7 @@ class FusedQresCodec(FusedCodecBase):
                     feature = self._plain(blk, bp, feature)
 
             if self.head_index_base is not None:
-                pm, plogv = net.apply(
-                    {'params': params}, feature.astype(jnp.float32),
-                    method=net.out_codec_tensors)
-                head_idx = ec.build_indexes(jnp.exp(plogv),
-                                            self.head_scale_table)
+                pm, head_idx = self._head_tensors(params, feature)
                 nsym = imH * imW * 3
                 T = (nsym + N - 1) // N
                 pshape1 = pm.shape[1:]
@@ -405,10 +488,7 @@ class FusedQresCodec(FusedCodecBase):
 
             if self.head_index_base is not None:
                 def _img_head():
-                    x_hat = (xs.astype(jnp.float32) + pm) * \
-                        net.out_net.bin_size
-                    im_out = jnp.clip(x_hat, -1.0, 1.0) * 0.5 + 0.5
-                    return jnp.round(im_out * 255).astype(jnp.uint8)
+                    return self._head_recon(xs, pm)
                 image = jax.lax.cond(
                     jnp.equal(want_image, jnp.int32(1)), _img_head,
                     lambda: jnp.zeros((B, imH, imW, 3), jnp.uint8))
@@ -418,9 +498,7 @@ class FusedQresCodec(FusedCodecBase):
                 for k2 in range(stop, len(blocks)):
                     bp2 = params.get(f'dec_blocks_{k2}', {})
                     feat = self._plain(blocks[k2], bp2, feat)
-                im_out = jnp.clip(feat.astype(jnp.float32),
-                                  -1.0, 1.0) * 0.5 + 0.5
-                return im_out.astype(jnp.float16)
+                return self._finish(feat)
 
             image = jax.lax.cond(
                 jnp.equal(want_image, jnp.int32(1)), _tail,

@@ -534,7 +534,7 @@ class QresModel(VAEModelBase):
 
     # ---------------------------------------------------------- compression
     def compress_mode(self, mode=True, coder=None, num_lanes=128,
-                      esc_cap=8192, compute_dtype=None,
+                      esc_cap=8192, compute_dtype=None, portable=False,
                       max_program_batch=None, word_cap=None):
         """Build CDF tables (reference: qresvae/model.py:640-647).
         coder='host'   per-block C++ rANS (reference container layout)
@@ -545,7 +545,10 @@ class QresModel(VAEModelBase):
                        same stream (fused.py docstring).
         compute_dtype='bfloat16' applies to the fused ENCODER BACKBONE
         only; everything decode must reproduce bitwise stays f32 (see
-        qarv/fused.py precision policy)."""
+        qarv/fused.py precision policy).
+        portable=True codes through the cross-executable
+        bitwise-deterministic Pallas trunk (ops/pallas/trunk.py): streams
+        decode in any process/executable. compress_file defaults to it."""
         if coder is None:
             coder = 'fused'
         assert coder in ('host', 'device', 'fused')
@@ -565,20 +568,39 @@ class QresModel(VAEModelBase):
                 self._dev_offs = jnp.asarray(off_np)
                 self.num_lanes = 128
             elif coder == 'fused':
-                from lvae_tpu.models.qresvae.fused import FusedQresCodec
-                head_kw = {}
-                if self.lossless:
-                    head_kw = dict(
-                        head_cdf_table=self._head_coder._cdf_table,
-                        head_scale_table=self._head_coder.scale_table)
-                self._fused = FusedQresCodec(
-                    self.net, self._block_coder._cdf_table,
-                    num_lanes=num_lanes, esc_cap=esc_cap,
-                    compute_dtype=compute_dtype,
-                    max_program_batch=max_program_batch, word_cap=word_cap,
-                    interpret=jax.default_backend() == 'cpu', **head_kw)
+                # cfg-keyed codec cache shared across compress_mode calls
+                # (see QarvModel.compress_mode)
+                if not hasattr(self, '_fused_codecs'):
+                    self._fused_codecs = {}
+                self._fused_cfg = dict(
+                    esc_cap=esc_cap, compute_dtype=compute_dtype,
+                    portable=portable, max_program_batch=max_program_batch,
+                    word_cap=word_cap,
+                    interpret=jax.default_backend() == 'cpu')
                 self.num_lanes = num_lanes
+                self._fused = self._get_fused(num_lanes)
         self.compressing = mode
+
+    def _get_fused(self, n_lanes: int, portable=None):
+        """Codec for (lane count, current cfg); ``portable`` overrides the
+        cfg's trunk kind — decode routes by the STREAM's marker bit."""
+        cfg = dict(self._fused_cfg)
+        if portable is not None:
+            cfg['portable'] = portable
+        key = (n_lanes,) + tuple(sorted(cfg.items()))
+        codec = self._fused_codecs.get(key)
+        if codec is None:
+            from lvae_tpu.models.qresvae.fused import FusedQresCodec
+            head_kw = {}
+            if self.lossless:
+                head_kw = dict(
+                    head_cdf_table=self._head_coder._cdf_table,
+                    head_scale_table=self._head_coder.scale_table)
+            codec = FusedQresCodec(
+                self.net, self._block_coder._cdf_table,
+                num_lanes=n_lanes, **cfg, **head_kw)
+            self._fused_codecs[key] = codec
+        return codec
 
     def _block_params(self, k):
         """Per-block parameter subtree; stage dispatch cost scales with the
@@ -635,10 +657,11 @@ class QresModel(VAEModelBase):
             'concat_packed': jax.jit(concat_packed),
         }
 
-    def compress(self, im):
+    def compress(self, im, portable=None):
         """Compress a batch -> [strings_1, ..., strings_N, smallest_shape]
         (+ lossless head strings), matching the reference container layout
-        (reference: qresvae/model.py:649-668)."""
+        (reference: qresvae/model.py:649-668). ``portable`` (fused coder):
+        override the trunk kind for this stream — see QarvModel.compress."""
         assert self.compressing, 'call compress_mode() first'
         raw = im
         im = to_nhwc_batch(im)
@@ -647,7 +670,8 @@ class QresModel(VAEModelBase):
             assert im.shape[0] == 1, 'fused coder supports single images'
             nH = im.shape[1] // self.net.max_stride
             nW = im.shape[2] // self.net.max_stride
-            body = self._fused.encode(self.params, jnp.asarray(im))
+            fused = self._get_fused(self.num_lanes, portable=portable)
+            body = fused.encode(self.params, jnp.asarray(im))
             width = self.params['bias'].shape[-1]
             return [body, (1, nH, nW, width)]
         fns, params = self._stage_fns, self.params
@@ -823,8 +847,14 @@ class QresModel(VAEModelBase):
                           dtype=np.float32)
 
     def decompress_to_device(self, body, fH, fW):
-        """Fused decode returning the f16 image ON DEVICE (async)."""
-        return self._fused.decode_to_device(self.params, body, fH, fW)
+        """Fused decode returning the image ON DEVICE (async). Routes by
+        the stream header's lane count AND trunk-kind marker bit, so a
+        portable file decodes regardless of this codec's configured mode."""
+        import struct as _struct
+        lanes_field = _struct.unpack('<H', body[8:10])[0]
+        fused = self._get_fused(lanes_field & 0x7FFF,
+                                portable=bool(lanes_field & 0x8000))
+        return fused.decode_to_device(self.params, body, fH, fW)
 
     def compress_batch(self, ims):
         """Batch serving encode: B same-shape images -> list of B
@@ -866,7 +896,14 @@ class QresModel(VAEModelBase):
         shapes = {o[-1] for o in objs}
         assert len(shapes) == 1, 'all batch streams must share one shape'
         _, fH, fW, _ = shapes.pop()
-        return self._fused.decode_batch_to_device(
+        import struct as _struct
+        fields = {_struct.unpack('<H', o[0][8:10])[0] for o in objs}
+        assert len(fields) == 1, \
+            f'mixed lane counts / trunk kinds in batch: {fields}'
+        lanes_field = fields.pop()
+        fused = self._get_fused(lanes_field & 0x7FFF,
+                                portable=bool(lanes_field & 0x8000))
+        return fused.decode_batch_to_device(
             self.params, [o[0] for o in objs], fH, fW)
 
     def decompress_batch(self, objs):
@@ -875,17 +912,22 @@ class QresModel(VAEModelBase):
             return img.astype(np.float32) / 255.0
         return img.astype(np.float32)
 
-    def compress_file(self, img_path, output_path, pad_hw=None):
+    def compress_file(self, img_path, output_path, pad_hw=None,
+                      portable=None):
         """Compress an image file (pickle container + original h/w,
         reference: qresvae/model.py:689-707). pad_hw: optional (H, W)
-        shape bucket (see QarvModel.compress_file)."""
+        shape bucket (see QarvModel.compress_file). FILES default to
+        PORTABLE streams when the codec supports them (decode-anywhere
+        semantics — see QarvModel.compress_file)."""
         img = Image.open(img_path).convert('RGB')
         if pad_hw is not None:
             img_padded = coding.pad_to_shape(img, *pad_hw)
         else:
             img_padded = coding.pad_divisible_by(img, div=self.net.max_stride)
         im = image_to_batch(img_padded)
-        compressed_obj = self.compress(im)
+        if portable is None and getattr(self, 'coder_kind', '') == 'fused':
+            portable = self._fused.supports_portable
+        compressed_obj = self.compress(im, portable=portable)
         compressed_obj.append((img.height, img.width))
         with open(output_path, 'wb') as f:
             pickle.dump(compressed_obj, file=f)

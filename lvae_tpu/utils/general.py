@@ -3,11 +3,51 @@
 TPU-native re-implementation of the reference's console tooling
 (reference: lvae/utils/general.py:51-443).
 """
+import hashlib
 import json
 import logging
+import os
 import re
 import statistics
 from pathlib import Path
+
+
+def enable_compile_cache(base=None):
+    """Persistent XLA compile cache, keyed by backend + host CPU features.
+
+    One shared directory across machine types risks loading AOT
+    executables compiled for another host's CPU features —
+    MULTICHIP_r04.json's tail was full of cpu_aot_loader "could lead to
+    SIGILL" warnings because CPU and TPU runs on different hosts shared
+    ~/.cache/lvae_tpu_jax. Keying the path by (backend, cpu-feature hash)
+    makes cross-machine reuse impossible. Returns the cache dir, or None
+    when disabled (LVAE_TPU_NO_CACHE) / unsupported.
+    """
+    import jax
+    if os.environ.get('LVAE_TPU_NO_CACHE'):
+        return None
+    base = (base or os.environ.get('LVAE_TPU_CACHE_DIR')
+            or os.path.expanduser('~/.cache/lvae_tpu_jax'))
+    backend = jax.default_backend()
+    feat = ''
+    try:
+        with open('/proc/cpuinfo') as f:
+            for ln in f:
+                if ln.startswith(('model name', 'flags')):
+                    feat += ln
+                    if ln.startswith('flags'):
+                        break
+    except OSError:
+        pass
+    key = hashlib.sha1(feat.encode()).hexdigest()[:10]
+    cache = os.path.join(base, f'{backend}-{key}')
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update('jax_compilation_cache_dir', cache)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+    except Exception:
+        return None
+    return cache
 
 
 class ANSI:

@@ -186,9 +186,15 @@ def test_two_process_data_parallel(tmp_path):
             [sys.executable, str(script)], env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=280)
-        outs.append(out)
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=280)
+            outs.append(out)
+    finally:
+        for p in procs:           # a failed/hung rank must not orphan the
+            if p.poll() is None:  # other (it would wait on the coordinator
+                p.kill()          # forever)
+                p.wait()
     for rank, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f'rank {rank} failed:\n{out}'
         assert f'rank {rank} OK' in out
@@ -220,9 +226,15 @@ def test_two_process_train_step_equivalence(tmp_path):
             [sys.executable, str(script)], env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=580)
-        outs.append(out)
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=580)
+            outs.append(out)
+    finally:
+        for p in procs:           # see test_two_process_data_parallel
+            if p.poll() is None:
+                p.kill()
+                p.wait()
     digests = {}
     for rank, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f'rank {rank} failed:\n{out}'

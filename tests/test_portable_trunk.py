@@ -152,13 +152,23 @@ def test_cross_executable_decode(pmodel):
             f'image {b}: B=1-encoded stream desynced in the batch-2 binary'
 
 
-def test_legacy_portable_stream_firewall(pmodel):
+def test_legacy_portable_stream_firewall_and_routing(pmodel):
+    """Codec level: a codec object NEVER decodes the other trunk kind's
+    stream (parse_payload firewall). Model level: decompress ROUTES by the
+    stream's marker bit, so either stream kind decodes through the model
+    API regardless of the configured mode (decode-anywhere semantics)."""
     m2 = lvae_tpu.get_model('qarv_tiny')
     m2.compress_mode(coder='fused')                  # legacy trunk
     im = _img(seed=9)
     legacy = m2.compress(im, lmb=512)
     portable = pmodel.compress(im, lmb=512)
+    # codec-level firewall (the wire marker): body starts after the 10-byte
+    # model header (f32 lambda + 3H shape)
     with pytest.raises(AssertionError, match='trunk kind'):
-        pmodel.decompress(legacy)
+        pmodel._fused.parse_payload(legacy[10:])
     with pytest.raises(AssertionError, match='trunk kind'):
-        m2.decompress(portable)
+        m2._fused.parse_payload(portable[10:])
+    # model-level routing: both kinds decode through either configured mode
+    assert np.array_equal(pmodel.decompress(legacy), m2.decompress(legacy))
+    assert np.array_equal(m2.decompress(portable),
+                          pmodel.decompress(portable))
