@@ -473,9 +473,6 @@ def main():
         _section(run_batch, headline_mode,
                  {'portable': True} if headline_mode == 'portable_f32'
                  else {}, min_budget=240)
-    if _remaining() > 180:
-        _section(run_single, 'portable_bf16',
-                 {'compute_dtype': 'bfloat16', 'portable': True})
 
     # --------------- section: host coder (reference-layout streams) -------
     def run_host():
@@ -537,10 +534,16 @@ def main():
                 qres34m_decode_ms=_median_ms(qres_d),
                 qres34m_mode=qres_mode)
 
-    if MODEL_NAME == 'qarv_base' and _remaining() > 420:
+    # qres34m outranks the bf16/host sections: it is a row of the
+    # reference's published latency table (README.md:49-56)
+    if MODEL_NAME == 'qarv_base' and _remaining() > 360:
         _section(run_qres)
     else:
         _note('skipping qres34m (budget/model)')
+
+    if _remaining() > 180:
+        _section(run_single, 'portable_bf16',
+                 {'compute_dtype': 'bfloat16', 'portable': True})
 
     # --------------- section: pure device forward (pipelined estimate) ----
     def run_forward():

@@ -595,12 +595,12 @@ class FusedCodecBase:
         one per latent block (decode order)."""
         from lvae_tpu.ops.pallas import rans_encode as pre
         N, esc_cap = self.N, self.esc_cap
-        offsets = jnp.asarray(self.enc_offsets_np)
-        lengths = jnp.asarray(self.enc_lengths_np)
         values = jnp.concatenate(syms_flat)
         idx_all = jnp.concatenate(idx_flat)
-        inband, esc_mask = pre.prepare_inband(values, idx_all,
-                                              offsets, lengths)
+        # tables passed as STATIC numpy: prepare_inband unrolls them into
+        # fused compare-selects (a gather here cost ~6 ms/image on TPU)
+        inband, esc_mask = pre.prepare_inband(
+            values, idx_all, self.enc_offsets_np, self.enc_lengths_np)
         # escape compaction via cumsum + dropping scatter (ascending
         # positions, like jnp.nonzero, without its sort-based lowering)
         mask_i = esc_mask.astype(jnp.int32)
@@ -693,12 +693,10 @@ class FusedCodecBase:
         from lvae_tpu.ops.pallas import rans_encode as pre
         N, esc_cap = self.N, self.esc_cap
         B = int(syms_flat[0].shape[0])
-        offsets = jnp.asarray(self.enc_offsets_np)
-        lengths = jnp.asarray(self.enc_lengths_np)
         values = jnp.concatenate(syms_flat, axis=1)              # (B, total)
         idx_all = jnp.concatenate(idx_flat, axis=1)
-        inband, esc_mask = pre.prepare_inband(values, idx_all,
-                                              offsets, lengths)
+        inband, esc_mask = pre.prepare_inband(
+            values, idx_all, self.enc_offsets_np, self.enc_lengths_np)
 
         mask_i = esc_mask.astype(jnp.int32)
         n_esc_true = jnp.sum(mask_i, axis=1)                     # (B,)

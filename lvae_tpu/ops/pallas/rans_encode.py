@@ -516,13 +516,26 @@ def blocks_to_rows(values_per_block, indexes_per_block, N):
 def prepare_inband(values, indexes, offsets, lengths):
     """Vectorized escape handling (outside the kernel): returns
     (inband_sym, esc_mask) where inband_sym = clip-to-escape-bin symbol
-    (already offset-subtracted). offsets and lengths are gathered together
-    from one packed table (one 617k-element gather instead of two; offsets
-    are biased by 2^15 to stay non-negative in the low half)."""
-    off_t = jnp.asarray(offsets, jnp.int32)
-    len_t = jnp.asarray(lengths, jnp.int32)
-    packed = (off_t + (1 << 15)) | (len_t << 16)
-    p = jnp.take(packed, indexes)
+    (already offset-subtracted).
+
+    The per-symbol (offset, length) lookup is an UNROLLED
+    select-accumulate over the static (<=192-entry) table rather than a
+    jnp.take: XLA gathers run ~10 ns/element on TPU, so the single packed
+    gather cost ~6 ms for a 617k-symbol qarv_base image — the largest
+    single op in the encode envelope (runs/fused-attrib-r5.txt
+    %cond.186) — while the 64-192 fused compare-selects are VPU
+    elementwise and effectively free (same lesson as
+    entropy_coding.build_indexes, round 3). offsets/lengths must be
+    trace-time constants (numpy or concrete arrays) for the unroll."""
+    off_np = np.asarray(offsets).astype(np.int64)
+    len_np = np.asarray(lengths).astype(np.int64)
+    # offsets < 2^15 (checked in FusedCodecBase._check_table) and lengths
+    # < 2^15, so the packed value always fits a non-negative int32
+    packed_np = (off_np + (1 << 15)) | (len_np << 16)
+    assert packed_np.max() < (1 << 31)
+    p = jnp.zeros(indexes.shape, jnp.int32)
+    for i, v in enumerate(packed_np.tolist()):
+        p = p + jnp.where(indexes == i, jnp.int32(v), 0)
     off = (p & MASK16) - (1 << 15)
     max_sym = _srl(p, 16) - 2
     sym = values - off

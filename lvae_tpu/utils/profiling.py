@@ -54,31 +54,39 @@ def program_envelope_ms(logdir, fn_name):
     Returns (per_exec_ms, count) or None if the trace has no matching
     events. Matches the TPU device plane's 'jit_<fn>' module events, or
     the CPU host plane's 'PjitFunction(<fn>)' events (the CPU backend has
-    no separate device plane) — total duration / execution count, so runs
-    the profiler missed (still in flight at stop) don't skew the average.
-    """
+    no separate device plane). A plane has MULTIPLE lines (module events
+    appear on e.g. both a step line and an XLA-modules line, with
+    different span semantics), so aggregate PER LINE and report the line
+    with the largest total — that is the full module envelope; total /
+    count so runs still in flight at trace stop don't skew the average."""
     xs = _load_xspace(logdir)
     if xs is None:
         return None
-    tpu_names = (f'jit_{fn_name}',)
-    cpu_name = f'PjitFunction({fn_name})'
+
+    def match(nm, is_tpu):
+        if is_tpu:
+            t0 = f'jit_{fn_name}'
+            return nm == t0 or nm.startswith(t0 + '.')
+        return nm == f'PjitFunction({fn_name})'
+
     best = None
     for plane in xs.planes:
         is_tpu = 'TPU' in plane.name
         if not is_tpu and plane.name != '/host:CPU':
             continue
-        tot = plane_event_totals(plane)
-        ms = cnt = 0
-        for nm, (t, n) in tot.items():
-            if (is_tpu and any(nm == t0 or nm.startswith(t0 + '.')
-                               for t0 in tpu_names)) or \
-                    (not is_tpu and nm == cpu_name):
-                ms += t
-                cnt += n
-        if cnt:
-            cand = (ms / cnt, cnt)
-            # prefer the TPU device plane over host planes
-            if is_tpu:
+        emeta = {mm.id: mm.name for mm in plane.event_metadata.values()}
+        plane_best = None
+        for line in plane.lines:
+            ms = cnt = 0
+            for ev in line.events:
+                if match(emeta.get(ev.metadata_id, '?'), is_tpu):
+                    ms += ev.duration_ps / 1e9
+                    cnt += 1
+            if cnt and (plane_best is None or ms > plane_best[2]):
+                plane_best = (ms / cnt, cnt, ms)
+        if plane_best:
+            cand = plane_best[:2]
+            if is_tpu:                 # prefer the TPU device plane
                 return cand
             best = best or cand
     return best
