@@ -28,6 +28,69 @@ def cast_tree(params, dtype):
         lambda x: x.astype(dt) if x.dtype == jnp.float32 else x, params)
 
 
+# escape compaction, sparse path: chunk geometry. Any stream whose every
+# `_ESC_CHUNK`-symbol slice carries <= `_ESC_CHUNK_CAP` escapes takes the
+# scatter-free branch below (trained operating points: ~100 escapes over
+# ~600 chunks). Denser streams (random-init stress: ~1 escape per 6
+# symbols) fall back to the full scatter.
+_ESC_CHUNK = 1024
+_ESC_CHUNK_CAP = 16
+
+
+def _escape_chunk_counts(mask_i, chunk=_ESC_CHUNK):
+    """Per-chunk escape counts (..., C) for a (..., S) int mask."""
+    S = mask_i.shape[-1]
+    C = -(-S // chunk)
+    pad = [(0, 0)] * (mask_i.ndim - 1) + [(0, C * chunk - S)]
+    return jnp.pad(mask_i, pad).reshape(*mask_i.shape[:-1], C, chunk).sum(-1)
+
+
+def _compact_escapes_chunked(esc_mask, values, esc_cap, chunk=_ESC_CHUNK,
+                             chunk_cap=_ESC_CHUNK_CAP):
+    """Scatter-free escape compaction, exact equal to the scatter branch
+    whenever every `chunk`-symbol slice holds <= `chunk_cap` escapes (the
+    caller's branch predicate; see pack_payload).
+
+    The scatter `.at[slot].set(pos, mode='drop')` over the full symbol
+    range cost ~5.9 ms/image on v5e even for ~100 live escapes
+    (runs/suite2-r5.json attrib_enc %cond.92 + %fusion.10) because the
+    update count is the SYMBOL count, not the escape count. Here the
+    j-th escape of each chunk is found with a masked min/sum reduction
+    (chunk_cap elementwise passes, VPU-cheap), and the global slot ->
+    (chunk, j) inversion is a broadcast-compare over the (esc_cap, C)
+    prefix table plus two tiny gathers — same no-gather/no-scatter
+    lesson as entropy_coding.build_indexes (round 3)."""
+    S = esc_mask.shape[0]
+    C = -(-S // chunk)
+    pad = C * chunk - S
+    m2 = jnp.pad(esc_mask, (0, pad)).reshape(C, chunk)
+    v2 = jnp.pad(values, (0, pad)).reshape(C, chunk)
+    rank = jnp.cumsum(m2.astype(jnp.int32), axis=1)   # 1-based at set bits
+    gpos = (jnp.arange(C, dtype=jnp.int32)[:, None] * chunk
+            + jax.lax.broadcasted_iota(jnp.int32, (C, chunk), 1))
+    big = jnp.int32(1 << 30)
+    cp, cv = [], []
+    for j in range(chunk_cap):
+        sel = m2 & (rank == (j + 1))                  # <=1 hit per chunk row
+        cp.append(jnp.min(jnp.where(sel, gpos, big), axis=1))
+        cv.append(jnp.sum(jnp.where(sel, v2, 0), axis=1))
+    cpos = jnp.stack(cp, axis=1)                      # (C, chunk_cap)
+    cval = jnp.stack(cv, axis=1)
+    cnt = rank[:, -1]                                 # (C,)
+    base = jnp.cumsum(cnt) - cnt                      # exclusive prefix
+    n_esc = jnp.sum(cnt)
+    s_iota = jnp.arange(esc_cap, dtype=jnp.int32)
+    # owner chunk of global slot s: the LAST chunk with base <= s (chunks
+    # with zero escapes share base with their successor and lose the tie)
+    c_of_s = jnp.sum((base[None, :] <= s_iota[:, None]).astype(jnp.int32),
+                     axis=1) - 1
+    j_of_s = jnp.clip(s_iota - base[c_of_s], 0, chunk_cap - 1)
+    valid = s_iota < jnp.minimum(n_esc, esc_cap)
+    esc_pos = jnp.where(valid, cpos[c_of_s, j_of_s], -1)
+    esc_val = jnp.where(valid, cval[c_of_s, j_of_s], 0)
+    return esc_pos, esc_val
+
+
 class FusedCodecBase:
     #: subclasses that implement the portable (cross-executable
     #: bitwise-deterministic) trunk set this True
@@ -606,11 +669,12 @@ class FusedCodecBase:
         mask_i = esc_mask.astype(jnp.int32)
         n_esc_true = jnp.sum(mask_i)
 
-        # the escape scatter+gather over the full symbol range costs ~3 ms
-        # on v5e (runs/fused-attrib-r4.txt %fusion.11) while trained
-        # operating points emit ZERO escapes — skip it behind a cond (the
-        # no-escape branch's outputs equal the scatter's exactly: all-(-1)
-        # positions, all-zero values, so the wire bytes are unchanged)
+        # three-way escape extraction (all branches produce IDENTICAL
+        # outputs on their domains, so the wire bytes never depend on the
+        # branch taken): zero escapes -> constants; sparse (every chunk
+        # <= _ESC_CHUNK_CAP escapes — all trained operating points) ->
+        # scatter-free chunked compaction; dense (random-init stress) ->
+        # the full-symbol-range scatter (~5.9 ms on v5e, suite2-r5 attrib)
         def _extract_esc(_):
             rank = jnp.cumsum(mask_i) - 1
             slot = jnp.where(esc_mask, rank, esc_cap)
@@ -621,12 +685,18 @@ class FusedCodecBase:
                                 values[jnp.clip(esc_pos, 0, None)], 0)
             return esc_pos, esc_val
 
+        def _extract_sparse(_):
+            return _compact_escapes_chunked(esc_mask, values, esc_cap)
+
         def _no_esc(_):
             return (jnp.full((esc_cap,), -1, jnp.int32),
                     jnp.zeros((esc_cap,), jnp.int32))
 
-        esc_pos, esc_val = jax.lax.cond(
-            n_esc_true > 0, _extract_esc, _no_esc, None)
+        sparse_ok = jnp.max(_escape_chunk_counts(mask_i)) <= _ESC_CHUNK_CAP
+        branch = jnp.where(n_esc_true == 0, 0,
+                           jnp.where(sparse_ok, 1, 2))
+        esc_pos, esc_val = jax.lax.switch(
+            branch, [_no_esc, _extract_sparse, _extract_esc], None)
 
         sym_rows, idx_rows, row_ns = [], [], []
         off = 0
@@ -701,8 +771,8 @@ class FusedCodecBase:
         mask_i = esc_mask.astype(jnp.int32)
         n_esc_true = jnp.sum(mask_i, axis=1)                     # (B,)
 
-        # see pack_payload: the scatter is dead weight at trained operating
-        # points (zero escapes) — cond-skip it batch-wide
+        # see pack_payload: three-way extraction, batch-wide branch pick
+        # (identical outputs on each branch's domain -> wire unchanged)
         def _extract_esc(_):
             rank = jnp.cumsum(mask_i, axis=1) - 1
             slot = jnp.where(esc_mask, rank, esc_cap)
@@ -719,12 +789,20 @@ class FusedCodecBase:
                 0)
             return esc_pos, esc_val
 
+        def _extract_sparse(_):
+            return jax.vmap(
+                lambda m, v: _compact_escapes_chunked(m, v, esc_cap))(
+                    esc_mask, values)
+
         def _no_esc(_):
             return (jnp.full((B, esc_cap), -1, jnp.int32),
                     jnp.zeros((B, esc_cap), jnp.int32))
 
-        esc_pos, esc_val = jax.lax.cond(
-            jnp.sum(n_esc_true) > 0, _extract_esc, _no_esc, None)
+        sparse_ok = jnp.max(_escape_chunk_counts(mask_i)) <= _ESC_CHUNK_CAP
+        branch = jnp.where(jnp.sum(n_esc_true) == 0, 0,
+                           jnp.where(sparse_ok, 1, 2))
+        esc_pos, esc_val = jax.lax.switch(
+            branch, [_no_esc, _extract_sparse, _extract_esc], None)
 
         sym_rows, idx_rows, row_ns = [], [], []
         off = 0

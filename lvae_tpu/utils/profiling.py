@@ -77,12 +77,29 @@ def program_envelope_ms(logdir, fn_name):
         emeta = {mm.id: mm.name for mm in plane.event_metadata.values()}
         plane_best = None
         for line in plane.lines:
-            ms = cnt = 0
-            for ev in line.events:
-                if match(emeta.get(ev.metadata_id, '?'), is_tpu):
-                    ms += ev.duration_ps / 1e9
-                    cnt += 1
-            if cnt and (plane_best is None or ms > plane_best[2]):
+            spans = [(ev.offset_ps, ev.offset_ps + ev.duration_ps)
+                     for ev in line.events
+                     if match(emeta.get(ev.metadata_id, '?'), is_tpu)]
+            if not spans:
+                continue
+            # Merge overlapping instances before summing: some lines carry
+            # enqueue-to-finish spans, and with >1 execution in flight
+            # (e.g. chained train steps) those overlap — summing raw
+            # durations double-counts queue wait (the r5 train probe read
+            # 192.7 ms/step off such a line while the chained wall said
+            # 79.4; runs/train-probe-r5.json). The merged union is the
+            # true busy envelope either way.
+            spans.sort()
+            ms, cur0, cur1 = 0.0, *spans[0]
+            for s0, s1 in spans[1:]:
+                if s0 > cur1:
+                    ms += (cur1 - cur0) / 1e9
+                    cur0, cur1 = s0, s1
+                else:
+                    cur1 = max(cur1, s1)
+            ms += (cur1 - cur0) / 1e9
+            cnt = len(spans)
+            if plane_best is None or ms > plane_best[2]:
                 plane_best = (ms / cnt, cnt, ms)
         if plane_best:
             cand = plane_best[:2]
