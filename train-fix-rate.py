@@ -63,12 +63,13 @@ _SCHEMA = {
         ('data_cache', 'bool', False),  # pre-decode trainset to a raw uint8 blob
         ('device_data', 'bool', False),  # whole uint8 trainset device-resident
         ('probe_device_step', 'bool', False),
+        ('val_interval', int, 2000),
     ],
 }
 
 # fixed post-parse settings, matching reference train-fix-rate.py:52-58
 _FIXED = dict(wdecay=0.0, wandb_log_interval=100,
-              model_log_interval=2000, model_val_interval=2000)
+              model_log_interval=2000)
 
 
 def build_config(argv=None):
@@ -87,6 +88,7 @@ def build_config(argv=None):
     cfg = ap.parse_args(argv)
     for k, v in _FIXED.items():
         setattr(cfg, k, v)
+    cfg.model_val_interval = cfg.val_interval
     return cfg
 
 

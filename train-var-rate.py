@@ -64,12 +64,13 @@ def parse_args():
     # whole uint8 trainset resident in device memory (single-process runs)
     parser.add_argument('--device_data', action=argparse.BooleanOptionalAction, default=False)
     parser.add_argument('--probe_device_step', action=argparse.BooleanOptionalAction, default=False)
+    parser.add_argument('--val_interval', type=int, default=2000)
     cfg = parser.parse_args()
 
     cfg.wdecay = 0.0
     cfg.wandb_log_interval = 100
     cfg.model_log_interval = 2000
-    cfg.model_val_interval = 2000
+    cfg.model_val_interval = cfg.val_interval
     return cfg
 
 
