@@ -93,11 +93,23 @@ def make_train_step(loss_fn, tx, accum_num=1, grad_clip=2.0, wdecay=0.0,
         def apply_update(args):
             grad_accum, opt_state, params, ema_params = args
             gnorm = optax.global_norm(grad_accum)
+            # non-finite guard: a single overflowed bf16 forward (or inf
+            # grad) must not poison 93M params — NaN survives any clip
+            # scale (NaN*s = NaN). Zero the gradients and the effective LR
+            # for this step: params/EMA stay bitwise put, Adam moments take
+            # one harmless zero-grad decay, and training continues. The
+            # host tolerates a bounded streak of these (trainer.consume)
+            # instead of aborting on first sight — the r5-mixed40k 40k-step
+            # run died at step 6162 exactly this way.
+            ok = jnp.isfinite(gnorm)
+            scale = jnp.where(
+                ok, jnp.minimum(1.0, grad_clip / jnp.maximum(gnorm, 1e-12)),
+                0.0)
             # clip by global norm (reference: trainer.py:395) — RAW gradients,
             # before weight decay, matching clip_grad_norm_ + torch Adam
             # (decay applied inside the optimizer step, after clipping)
-            scale = jnp.minimum(1.0, grad_clip / jnp.maximum(gnorm, 1e-12))
-            clipped = jax.tree.map(lambda g: g * scale, grad_accum)
+            clipped = jax.tree.map(
+                lambda g: jnp.where(ok, g, 0.0) * scale, grad_accum)
             if wdecay > 0:
                 mask = weights_mask(params)
                 clipped = jax.tree.map(
@@ -105,12 +117,13 @@ def make_train_step(loss_fn, tx, accum_num=1, grad_clip=2.0, wdecay=0.0,
                     clipped, params, mask)
             # median-spike LR cut (reference: trainer.py:394-406)
             spike = gnorm > grad_median * 10.0
-            lr_eff = jnp.where(spike, lr * 0.1, lr)
+            lr_eff = jnp.where(ok, jnp.where(spike, lr * 0.1, lr), 0.0)
             updates, opt_state = tx.update(clipped, opt_state, params)
             params = jax.tree.map(lambda p, u: p - lr_eff * u, params, updates)
             if use_ema:
-                # skip EMA update on spike steps (reference: trainer.py:374)
-                d = jnp.where(spike, 1.0, ema_decay)
+                # skip EMA update on spike/skipped steps (reference:
+                # trainer.py:374); d=1 leaves ema_params bitwise unchanged
+                d = jnp.where(spike | ~ok, 1.0, ema_decay)
                 ema_params = jax.tree.map(
                     lambda e, p: e * d + p * (1.0 - d), ema_params, params)
             zeros = jax.tree.map(jnp.zeros_like, grad_accum)

@@ -50,6 +50,7 @@ class BaseTrainingWrapper:
         self._cur_iter = 0
         self._cur_epoch = 0.0
         self._best_loss = math.inf
+        self._nonfinite_streak = 0
         self._moving_grad_norm_buffer = utils.MaxLengthList(
             max_len=self.grad_norm_interval)
         self.wandb_log_keys = set()
@@ -428,10 +429,25 @@ class BaseTrainingWrapper:
                 self._step_dt_ema = dt if self._step_dt_ema is None else \
                     0.9 * self._step_dt_ema + 0.1 * dt
             self._t_prev = t_now
-            self._moving_grad_norm_buffer.add(metrics['grad_norm'])
+            if math.isfinite(metrics['grad_norm']):
+                self._moving_grad_norm_buffer.add(metrics['grad_norm'])
             if not math.isfinite(metrics['loss']):
-                logging.error(f'loss = {metrics["loss"]} at step {step_p}')
-                self.clean_and_exit()
+                # the device step already skipped the update (optim.py
+                # non-finite guard: zero grads + zero lr, EMA frozen), so a
+                # rare overflowed batch is survivable; only a persistent
+                # streak means the state itself is poisoned
+                self._nonfinite_streak += 1
+                logging.warning(
+                    f'non-finite loss at step {step_p} — update skipped '
+                    f'({self._nonfinite_streak} consecutive)')
+                if self._nonfinite_streak >= 20:
+                    logging.error(
+                        f'loss = {metrics["loss"]} at step {step_p}: '
+                        f'{self._nonfinite_streak} consecutive non-finite '
+                        f'steps')
+                    self.clean_and_exit()
+            else:
+                self._nonfinite_streak = 0
             if self.is_main:
                 cur = self._cur_iter
                 self._cur_iter = step_p      # log under the step's own index

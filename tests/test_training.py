@@ -108,6 +108,45 @@ def test_spike_lr_cut_and_ema_skip(setup):
     assert ema_moved == 0.0, 'EMA must not update on spike steps'
 
 
+def test_nonfinite_grad_step_is_skipped(setup):
+    """A batch that produces non-finite grads must leave params, EMA and
+    step-to-step trainability intact (optim.py non-finite guard): the
+    r5-mixed40k 40k-step run died at step 6162 when one overflowed bf16
+    forward NaN-poisoned all 93M params through the clip (NaN*scale=NaN)."""
+    model, mesh, _, tx, loss_fn = setup
+    state, tx3 = create_train_state(model.params, optimizer='adam', ema=True)
+    step_fn = jax.jit(make_train_step(loss_fn, tx3, accum_num=1,
+                                      grad_clip=2.0, wdecay=0.0,
+                                      use_ema=True))
+    key = jax.random.PRNGKey(0)
+    good = np.random.default_rng(3).uniform(
+        0, 1, (4, 64, 64, 3)).astype(np.float32)
+    bad = good.copy()
+    bad[0, 0, 0, 0] = np.nan          # poisons loss and every gradient
+    s1, m1 = step_fn(state, bad, key, jnp.float32(1e-3),
+                     jnp.float32(1e9), jnp.float32(0.5))
+    assert not math.isfinite(float(m1['grad_norm']))
+    # params and EMA bitwise unchanged — the update was skipped
+    p_moved = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        s1.params, model.params)))
+    e_moved = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        s1.ema_params, model.params)))
+    assert p_moved == 0.0 and e_moved == 0.0
+    # training continues: the next good batch takes a normal finite step
+    s2, m2 = step_fn(s1, good, key, jnp.float32(1e-3),
+                     jnp.float32(1e9), jnp.float32(0.5))
+    assert math.isfinite(float(m2['loss']))
+    assert math.isfinite(float(m2['grad_norm']))
+    moved = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        s2.params, s1.params)))
+    assert moved > 0
+    assert all(bool(jnp.all(jnp.isfinite(leaf)))
+               for leaf in jax.tree.leaves(s2.params))
+
+
 def test_checkpoint_roundtrip(tmp_path, setup):
     model, mesh, state, tx, loss_fn = setup
     host_state = jax.device_get(state)
