@@ -11,12 +11,14 @@ new 40k-step mixed-trainset EMA checkpoint (runs/r5-trainset: 2048
 synthetic + 184 real-photo tiles; scripts/r5-make-trainset.py), in ONE
 process (the per-process first-fetch stall is 10-25 min; CLAUDE.md).
 
-Phases (argv via --phases, default ATVOE):
+Phases (argv via --phases, default ATLVOE):
   A. real-photo portable acceptance: bit-exact vs encode_check,
      deterministic, bpp/PSNR on the 4 committed photos at lambda=512
      (photo1 also at lambda=2048 + host-coder bpp comparison).
   T. chained-iter portable device exec (enc/dec) at the new operating
      point — confirms the 18.7 ms headline class carries over.
+  L. e2e latency at the new operating point (bench.py methodology) —
+     the number the driver bench will see with this checkpoint.
   V. rate proof: host-coded file bits vs forward-pass KL bppix across
      6 lambdas (scripts/prove-rate-correctness.py, tol 2%).
   O. device-coder flush overhead vs the host coder across lambdas
@@ -86,7 +88,7 @@ def main():
     ap.add_argument('--weights', required=True,
                     help='flat msgpack EMA weights of the long run')
     ap.add_argument('--tag', default='r5mix')
-    ap.add_argument('--phases', default='ATVOE')
+    ap.add_argument('--phases', default='ATLVOE')
     args = ap.parse_args()
 
     import numpy as np
@@ -210,6 +212,38 @@ def main():
         print('--- phase T: chained-iter portable device exec ---',
               flush=True)
         _run('exec', phase_t)
+
+    # ---------------------------------------------------------- phase L
+    def phase_l():
+        """e2e latency, bench.py methodology (device-resident input, timed
+        until stream bytes on host / image resident on device + sync)."""
+        im_dev = jnp.asarray(load_photo(np, PHOTOS[0]))
+        np.asarray(im_dev[0, :1, :1, 0])
+        lmb_f32 = struct.unpack('f', struct.pack('f', 512.0))[0]
+        body = model.compress(im_dev, lmb=512.0)
+        model.decompress(body)
+        enc_t, dec_t = [], []
+        for _ in range(9):
+            t0 = time.perf_counter()
+            body = model.compress(im_dev, lmb=512.0)
+            t1 = time.perf_counter()
+            _, nH, nW = struct.unpack('3H', body[4:10])
+            img_dev = model.decompress_to_device(lmb_f32, 1, nH, nW,
+                                                 body[10:])
+            np.asarray(img_dev[0, :1, :1, 0])
+            dec_t.append(time.perf_counter() - t1)
+            enc_t.append(t1 - t0)
+        r = {'encode_ms': round(med_ms(enc_t), 1),
+             'decode_ms': round(med_ms(dec_t), 1),
+             'encdec_ms': round(med_ms(enc_t) + med_ms(dec_t), 1),
+             'bpp': round(len(body) * 8 / (512 * 768), 4)}
+        print(f'  {r}', flush=True)
+        return r
+
+    if 'L' in args.phases:
+        print('--- phase L: portable e2e latency (bench methodology) ---',
+              flush=True)
+        _run('e2e', phase_l)
 
     # ---------------------------------------------------------- phase V
     if 'V' in args.phases:
